@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference pins ``spark.sql.shuffle.partitions=200`` and enables Arrow
+(reference ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:34-38``).
+We keep the intent (tuned shuffle parallelism + Arrow) but make it adaptive:
+AQE coalesces shuffle partitions at runtime so the static number only sets
+an upper bound, and skew-join handling is on so hot keys re-split at the
+1000-executor scale this engine targets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for correctness-at-scale, not just local speed:
+#  - AQE on: runtime partition coalescing + skew-join splitting means the
+#    same plan works at sf0.001 and at 100 TB.
+#  - UTC session timezone: deterministic timestamp semantics (and matches
+#    the DuckDB oracle, which is UTC-naive).
+#  - Arrow on: every pandas_udf / applyInPandas moves batches, not rows.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # At 100 TB, file-split sizing is the scan-parallelism knob.
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "data_lake_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes ``None`` with a cluster master already set in
+    the environment and we leave it alone.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    n_shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
+    if master is None or master.startswith("local"):
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

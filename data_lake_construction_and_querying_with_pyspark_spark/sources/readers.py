@@ -1,0 +1,117 @@
+"""Lake sources — format-dispatched reads (SURVEY.md §2.1 S1-S4).
+
+The reference reads CSV with header + ``,`` separator and NO schema
+inference — every column lands as string (reference
+``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:59-66``) —
+and Parquet with footer types (``:67-71``); any other format is an error
+path (``:72-77``). We reproduce those exact semantics with native
+``spark.read`` (no DynamicFrame — it added nothing, SURVEY.md §1.1),
+and extend the registry with JSON and ORC.
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; ``spark.sql.files.maxPartitionBytes`` (session.py)
+controls scan parallelism at 100 TB. For CSV at scale, pass an explicit
+all-string StructType (never ``inferSchema`` — that is a full extra pass
+over 100 TB of text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv_allstring(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """CSV scan with reference semantics: header row, no inference.
+
+    If ``columns`` is given, build an explicit all-string schema (single
+    pass at scale); otherwise let Spark take the header row as names
+    (still all-string, matching the reference's ``withHeader`` read).
+    """
+    reader = spark.read.option("header", True).option("sep", sep)
+    if columns is not None:
+        schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — footer schema, pushdown-capable."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal raw-asset scan: (path, modificationTime, length, content).
+
+    ``binaryFile`` is the Spark-native way to bring image/audio/video
+    bytes into a DataFrame as an opaque ``binary`` column (SURVEY.md §7
+    Phase 3c).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+_READERS = {
+    "csv": read_csv_allstring,
+    "parquet": read_parquet,
+    "json": read_json,
+    "orc": read_orc,
+}
+
+
+def read_lake(spark: SparkSession, path: str, fmt: str, **kwargs) -> DataFrame:
+    """Format-dispatched scan (reference S3 dispatch, SURVEY.md §2.1).
+
+    Unsupported formats raise ValueError — the engine equivalent of the
+    reference's SNS-notify + sys.exit error path
+    (``scripts/...pyspark.py:72-77``).
+    """
+    try:
+        reader = _READERS[fmt]
+    except KeyError:
+        raise ValueError(
+            f"Unsupported file type: {fmt!r}; expected one of {sorted(_READERS)}"
+        ) from None
+    return reader(spark, path, **kwargs)
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver test table from ``sf_dir`` as a dict of DataFrames."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each test table as a temp view for spark.sql querying."""
+    for name, df in load_star_schema(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
