@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Each query is materialized through the ``noop`` sink so the full plan
+executes (a bare .count() would let Spark prune aggregates/columns and
+under-report the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (scan+filter, hash agg, dim join,
+# fact-fact join, window, sessionization, SQL CTE, dedup, text, similarity).
+HEADLINE = [
+    "flagship_between",
+    "pricing_summary",
+    "join_broadcast_chain",
+    "join_fact_fact_revenue",
+    "window_topk_per_customer",
+    "events_user_sessions",
+    "cte_top_revenue_nations",
+    "dedup_exact_documents",
+    "dedup_minhash_near_dup",
+    "text_quality_scores",
+    "knn_brute_force",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_lake_construction_and_querying_with_pyspark_spark import get_spark
+    from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
+
+    spark = get_spark(app_name="lake_bench")
+    qs = all_queries()
+
+    def run(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    # Warmup: spin up executors + JIT on a trivial scan (not counted).
+    run(spark.read.parquet(f"{sf_dir}/region.parquet"))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        run(qs[name](spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

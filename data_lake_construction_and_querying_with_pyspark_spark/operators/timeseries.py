@@ -1,0 +1,116 @@
+"""Time-series / event-stream operators (batch side).
+
+The reference has no notion of event time (its only clock is the daily
+Airflow schedule — ``airflow_dag_code/data_lake_query_pyspark.py:16``);
+these operators extend the engine with the tumbling/sliding windowed
+aggregations a lake of event streams needs. The same ``F.window``
+expressions run unchanged under Structured Streaming (see
+``streaming/``) — batch here doubles as the correctness oracle for the
+streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation per event type. In
+    streaming mode the identical expression runs with a watermark; the
+    window struct's start field is projected out for a flat schema."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_id FROM events
+    ), windows AS (
+        SELECT b AS window_start, event_id FROM buckets
+        UNION ALL
+        SELECT b - INTERVAL '30 minutes' AS window_start, event_id FROM buckets
+    )
+    SELECT window_start, COUNT(event_id) AS n_events
+    FROM windows GROUP BY window_start
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide) event counts — each
+    event lands in exactly two windows; oracle derives the same
+    assignment from 30-minute buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "events_user_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via the gaps-and-islands
+    window pattern — one shuffle on user_id, no Python in the loop.
+    The streaming twin is ``F.session_window`` (streaming/ module)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Microsecond-exact gap (cast-to-long would truncate to seconds and
+    # disagree with the oracle's interval comparison on sub-second gaps).
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
+        "user_id", "ts", F.sum("is_new").over(wsum).cast("bigint").alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -29,6 +29,10 @@ _DEFAULTS = {
     "spark.sql.parquet.compression.codec": "snappy",
     # At 100 TB, file-split sizing is the scan-parallelism knob.
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    # The driver's events table carries INT64 TIMESTAMP(NANOS) which
+    # Spark's parquet reader rejects; read as long and convert in the
+    # events reader (ns values are exact multiples of 1000 here).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 

@@ -69,6 +69,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events scan: parquet with INT64 TIMESTAMP(NANOS) ``ts``.
+
+    Spark's parquet reader rejects nanosecond timestamps outright
+    (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong``
+    (session default) the column lands as epoch-nanos long, which we
+    convert to a proper timestamp. The driver's generator emits exact
+    microsecond multiples, so the ns→µs division is lossless.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # Integer division: `/` on longs goes through double, and epoch
+        # nanos (~1.7e18) exceed double's 53-bit mantissa → ±1 µs error.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Multimodal raw-asset scan: (path, modificationTime, length, content).
 
@@ -106,9 +125,15 @@ def read_lake(spark: SparkSession, path: str, fmt: str, **kwargs) -> DataFrame:
     return reader(spark, path, **kwargs)
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table (events gets its ns-timestamp fix)."""
+    path = f"{sf_dir}/{name}.parquet"
+    return read_events(spark, path) if name == "events" else spark.read.parquet(path)
+
+
 def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver test table from ``sf_dir`` as a dict of DataFrames."""
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLE_NAMES}
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
