@@ -1,1 +1,339 @@
-"""Placeholder — filled in the dedup wave."""
+"""Deduplication operators — exact through fuzzy (SURVEY.md §7 Phase 3a).
+
+Generalizes the reference's single dedup call (``df.dropDuplicates()``,
+reference ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:103``)
+into the ladder a 100 TB training-data pipeline needs:
+
+* exact row/key dedup (hash aggregate),
+* normalized-fingerprint dedup (md5 of canonicalized text),
+* n-gram Jaccard near-dup (inverted-index candidate join — exact),
+* MinHash + LSH banding near-dup (sub-quadratic candidate generation),
+* SimHash signatures (bit-majority sketch).
+
+Cross-engine determinism: all hashing is md5 (identical hex in Spark
+and DuckDB); MinHash "hash functions" are lexicographic minima of
+``md5(i || ':' || shingle)`` strings, so the oracle reproduces the
+exact signature. Jaccard thresholds compare in integer arithmetic
+(``k·inter ≥ m·union``), never floats.
+
+Scale notes: the inverted-index join explodes (doc, shingle) pairs and
+self-joins on shingle — at 100 TB you'd add document-frequency pruning
+(drop shingles appearing in >T docs; they only create junk candidate
+pairs) and prefix filtering; MinHash-LSH is the sub-quadratic path
+whose candidate count is tunable via bands×rows. Both avoid the O(n²)
+cross join the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+# --- shared shingling expressions --------------------------------------------
+
+def _toks() -> "F.Column":
+    """Word tokens (documents are single-space separated; filter empties
+    so a trailing separator can't mint a '' token)."""
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+
+def _shingles(toks) -> F.Column:
+    """Distinct word 3-gram shingles; empty array for <3-token docs
+    (guard matters: Spark's sequence(0, n-3) would go *descending* for
+    n<3 instead of empty)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+_ORACLE_SHINGLES = """
+    SELECT doc_id,
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks)-1)]) AS shingles
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents)
+"""
+
+
+def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _shingles(_toks()).alias("shingles"))
+
+
+# --- exact dedup --------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup as a keep-first aggregation (C3 generalized to a
+    keyed dedup that also reports multiplicity). One hash-agg shuffle on
+    the text value; at 100 TB group on md5(text) instead so the shuffle
+    key is 16 bytes, not the document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "dedup_fingerprint_documents",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized-fingerprint dedup: lowercase + whitespace-collapse
+    + md5. Catches trivial formatting variants that exact dedup misses;
+    the 16-byte digest is the shuffle key (constant-size at any doc
+    length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return docs.groupBy(fp.alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- n-gram Jaccard near-dup (exact, inverted index) --------------------------
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND 5 * len(list_intersect(a.shingles, b.shingles))
+          >= 4 * (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)))
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs with word-3-gram Jaccard ≥ 0.8.
+
+    The oracle brute-forces O(n²); this builder uses the scalable exact
+    algorithm: invert (doc, shingle), self-join on shingle to count
+    shared shingles per pair (any pair with jaccard > 0 shares ≥1
+    shingle, so candidates are complete), then test the threshold in
+    integer arithmetic (5·inter ≥ 4·union ⇔ jaccard ≥ 0.8). Shuffles
+    scale with Σ df(shingle)² — at 100 TB add document-frequency
+    pruning on hot shingles before the join."""
+    sh = shingle_docs(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.toDF("doc_a", "n_a")
+    sb = sizes.toDF("doc_b", "n_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(5 * F.col("inter") >= 4 * union)
+        .select("doc_a", "doc_b", (F.col("inter").cast("double") / union).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH banding -----------------------------------------------------
+
+_N_HASHES = 16
+_BAND_ROWS = 4  # 4 bands x 4 rows
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """16 MinHash values per doc: min over shingles of md5('i:'+shingle).
+    One explode + one groupBy; all 16 minima come out of a single
+    shuffle (partial min map-side)."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _oracle_minhash() -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_rows = []
+    for b in range(_N_HASHES // _BAND_ROWS):
+        cols = " || '|' || ".join(f"h{b * _BAND_ROWS + j}" for j in range(_BAND_ROWS))
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS band_key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    sig AS (
+        SELECT doc_id, {sig_cols}
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        GROUP BY doc_id
+    ),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+    WHERE 5 * len(list_intersect(sa.shingles, sb.shingles))
+          >= 4 * (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)))
+    """
+
+
+@register("dedup_minhash_near_dup", oracle=_oracle_minhash())
+def dedup_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: 16 md5-min signatures → 4 bands × 4 rows →
+    band-bucket self-join for candidates → exact Jaccard ≥ 0.8 verify.
+
+    This is the sub-quadratic scale path (candidate count is controlled
+    by the band structure, not n²); band collision probability for
+    jaccard s is 1-(1-s⁴)⁴ ≈ 0.98 at s=0.8. The oracle replays the
+    identical md5-based construction, so results match exactly."""
+    sh = shingle_docs(spark, sf_dir).cache()
+    sig = _minhash_signatures(sh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * _BAND_ROWS + j}") for j in range(_BAND_ROWS)]
+                ).alias("band_key"),
+            )
+            for b in range(_N_HASHES // _BAND_ROWS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(5 * inter >= 4 * union)
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _oracle_simhash() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN substring(md5(tok), {j + 1}, 1) "
+        f"IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash_signatures", oracle=_oracle_simhash())
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: bit j is the majority vote of token
+    md5 bits (hex digit j's top bit), so near-identical token bags land
+    within small Hamming distance. Single explode + groupBy (one
+    shuffle); the md5-hex-digit construction is engine-portable, unlike
+    builtin hash functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    md5 = F.md5(F.col("tok"))
+    high = set("89abcdef")
+    bit_votes = [
+        F.sum(
+            F.when(F.substring(md5, j + 1, 1).isin(*high), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.4
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine > 0.4 (this synthetic corpus has
+    no >0.52 pairs; real pipelines use ~0.95+). Sequential-fold double
+    dot products are bit-identical to the oracle's list_dot_product.
+    Brute-force O(n²) here; the LSH-bucketed variant in similarity.py
+    is the 100 TB path."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        with_norm,
+    )
+
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cosine = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") > 0.4)
+    )

@@ -1,1 +1,204 @@
-"""Placeholder — filled in the similarity wave."""
+"""Similarity search over embedding columns (SURVEY.md §7 Phase 3b).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checked
+bit-exact); random-hyperplane LSH bucketing is the sub-quadratic scale
+path (probabilistic recall → rows-only driver check + a recall-vs-
+brute-force assertion in tests/test_similarity.py).
+
+All vector math stays JVM-side: ``F.zip_with`` + ``F.aggregate`` fold
+the dot product inside whole-stage codegen — no Python, no UDF. The
+sequential left fold is bit-identical to DuckDB's list_dot_product,
+which is what makes the oracle comparison exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+_N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+_TOP_K = 10
+
+
+def as_double_vec(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    """Sequential-fold double dot product (deterministic, codegen'd)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Project (vec_id, v: double[], norm) — norms computed once, not
+    per candidate pair."""
+    v = as_double_vec(F.col(vec_col))
+    return embeddings.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+
+
+@register(
+    "knn_brute_force",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.v, c.v) / (q.norm * c.norm) DESC,
+                                           c.vec_id) AS rn
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM scored WHERE rn <= {_TOP_K}
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector (vec_id < 5).
+
+    The query side is tiny → broadcast; the corpus side streams through
+    the scored cross join with no shuffle until the per-query top-k
+    rank filter (partitioned by query). At 100 TB swap the rank filter
+    for a per-partition heap aggregation, same semantics."""
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+        )
+    )
+    cosine = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        q.crossJoin(e)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python LCG so the
+    plan is reproducible without numpy state)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 11) / float(1 << 53) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "v", n_planes: int = 8, seed: int = 7) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit i = sign of
+    ⟨v, plane_i⟩. 2^n_planes buckets; cosine-similar vectors collide
+    with probability (1 - θ/π)^n_planes."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"] if first else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_multi_buckets(
+    df: DataFrame,
+    vec_col: str = "v",
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-table LSH: ``n_tables`` independent sign-projection codes
+    of ``n_planes`` bits each, as an array of (table, bucket) structs.
+    Candidate recall for neighbors at angle θ is
+    1 − (1 − (1−θ/π)^n_planes)^n_tables — tables buy recall, planes buy
+    selectivity. Explode + equi-join on (table, bucket) is the
+    candidate join; each table's bucket space is disjoint via the
+    table id in the key."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"] if first else 0
+    structs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        bucket = F.lit(0)
+        for i, plane in enumerate(planes):
+            proj = dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        structs.append(F.struct(F.lit(t).alias("table"), bucket.cast("int").alias("bucket")))
+    return df.withColumn("buckets", F.array(*structs))
+
+
+@register("knn_lsh_bucketed", oracle=None)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via multi-table sign-projection LSH (8 tables × 4
+    planes): candidates share any table's bucket with the query, then
+    exact cosine rerank of the deduped candidate set. Probabilistic
+    recall → no SQL oracle; tests/test_similarity.py asserts recall vs
+    brute force (near-orthogonal random vectors are sign-LSH's worst
+    case; real near-dup embeddings collide with prob ≈ 1).
+
+    Scale path: (table, bucket) is a plain int pair → write the corpus
+    bucketed by it and each query probes n_tables buckets as partition-
+    pruned scans instead of a full pass."""
+    e = lsh_multi_buckets(with_norm(load_table(spark, sf_dir, "embeddings"))).cache()
+    flat = e.select("vec_id", "v", "norm", F.explode("buckets").alias("tb"))
+    q = F.broadcast(
+        flat.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("tb").alias("qtb"),
+        )
+    )
+    cand = (
+        q.join(flat, F.col("qtb") == F.col("tb"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", "qnorm", F.col("vec_id").alias("neighbor_id"), "v", "norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cosine = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+@register(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1]::DOUBLE AS e_first,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) / len(embedding) AS mean_sq
+    FROM embeddings
+    """,
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over the vector column: size, element
+    access, fold-based norm — all codegen'd, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec(F.col("embedding"))
+    d = dot(v, v)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e_first"),
+        F.sqrt(d).alias("l2_norm"),
+        (d / F.size("embedding")).alias("mean_sq"),
+    )

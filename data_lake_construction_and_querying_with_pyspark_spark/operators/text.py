@@ -1,1 +1,212 @@
-"""Placeholder — filled in the text wave."""
+"""Text analysis operators (SURVEY.md §7 Phase 3d).
+
+Language-ID (marker-token heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + regex
+tokenizers), and document fingerprinting — each as a pure
+``pyspark.sql.functions`` expression pipeline (JVM-side, codegen'd; no
+Python UDFs in any of these paths) with an exact DuckDB oracle.
+
+Ratio determinism: every ratio is an integer count divided by an
+integer count in double — one correctly-rounded IEEE division, no
+accumulated float state — so Spark and DuckDB agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+def _toks() -> "F.Column":
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+# Marker stopwords per language for the n-gram-free heuristic language
+# detector. (The synthetic corpus draws every language's text from the
+# same English-ish vocabulary — the detector machinery is what's under
+# test, not corpus accuracy.)
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "fr": ("le", "les", "des", "une", "est", "et"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+_STOPWORDS = _MARKERS["en"]
+
+
+def _count_in(toks, words) -> F.Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(length(replace(text, ' ', '')) AS INT) AS n_letter_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents)
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts, vocabulary richness (type/token ratio),
+    and mean token length per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    n_distinct = F.size(F.array_distinct(_toks()))
+    n_letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tok).alias("type_token_ratio"),
+        n_letters.alias("n_letter_chars"),
+        (n_letters.cast("double") / n_tok).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_regex_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+               AS n_regex_tokens
+    FROM documents
+    """,
+)
+def text_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer count: letter runs, digit runs, or single
+    other-symbols — the pre-tokenization split most BPE vocabularies
+    assume. Regex stays in the JVM (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_regex_tokens"
+        ),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> t IN {_STOPWORDS!r})) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT)
+               AS n_punct,
+           CASE WHEN len(toks) >= 20
+                 AND len(list_filter(toks, t -> t IN {_STOPWORDS!r})) > 0
+                THEN 'keep' ELSE 'filter' END AS quality_verdict
+    FROM (SELECT doc_id, text, n_chars,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents)
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality gate: length, stopword ratio, and
+    punctuation counts feed a keep/filter verdict (the C4/Gopher-rule
+    shape). All counts integer, ratios single divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    n_stop = _count_in(_toks(), _STOPWORDS)
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", "")
+    )
+    verdict = (
+        F.when((n_tok >= 20) & (n_stop > 0), "keep").otherwise("filter").alias("quality_verdict")
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        n_punct.cast("int").alias("n_punct"),
+        verdict,
+    )
+
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        f"len(list_filter(toks, t -> t IN {words!r})) AS s_{lang}"
+        for lang, words in _MARKERS.items()
+    )
+    # Deterministic argmax: fixed evaluation order en > es > fr > de,
+    # ties go to the earlier language; all-zero → 'und'.
+    order = list(_MARKERS)
+    cases = []
+    for i, lang in enumerate(order):
+        later = order[i + 1 :]
+        conds = [f"s_{lang} >= s_{l2}" for l2 in later]
+        conds.append(f"s_{lang} > 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {scores}
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+    )
+    SELECT doc_id, lang AS labeled_lang, {case_sql} AS predicted_lang
+    FROM scored
+    """
+
+
+@register("text_language_id", oracle=_langid_sql())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language identification with a deterministic
+    argmax (fixed language priority on ties). Pure column expressions —
+    the per-language scores are one array-filter each."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_count_in(_toks(), words).alias(f"s_{lang}") for lang, words in _MARKERS.items()],
+    )
+    order = list(_MARKERS)
+    pred = None
+    chain = F.when(F.lit(False), "x")
+    for i, lang in enumerate(order):
+        cond = F.col(f"s_{lang}") > 0
+        for l2 in order[i + 1 :]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{l2}"))
+        chain = chain.when(cond, lang)
+    pred = chain.otherwise("und")
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5,
+           substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8)
+               AS short_fp,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), t -> t <> ''))), ' '))
+               AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: canonicalized content hash, an 8-hex short
+    form (bucketable), and an order-insensitive bag-of-words hash
+    (sorted distinct tokens) that survives shuffled word order."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    bag = F.md5(F.array_join(F.array_sort(F.array_distinct(_toks())), " "))
+    return docs.select(
+        "doc_id",
+        canon.alias("content_md5"),
+        F.substring(canon, 1, 8).alias("short_fp"),
+        bag.alias("bag_fp"),
+    )

@@ -1,0 +1,98 @@
+"""Structured Streaming operators (SURVEY.md §7 Phase 3e).
+
+The reference's only notion of time is the daily Airflow trigger
+(``airflow_dag_code/data_lake_query_pyspark.py:16``); this module adds
+true event-time processing: watermarked tumbling/sliding windows and
+session windows over the events stream. Each aggregation reuses the
+SAME expressions as its batch twin in ``operators/timeseries.py`` —
+run both on the same data and the results agree, which is exactly how
+tests/test_streaming.py checks them (file source + availableNow
+trigger → deterministic finite stream).
+
+Scale notes: watermark bounds state (late rows beyond 1 hour are
+dropped, state for closed windows is evicted); session windows use
+Spark's native session_window state merging. State store partitioning
+follows ``spark.sql.shuffle.partitions`` — size it to executor count
+on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based events stream (parquet dir with µs timestamps —
+    convert the driver's ns fixture once via sources.read_events +
+    write before streaming it)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/timeseries.events_hourly_rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_sliding_windows (1h window, 30m slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user — the
+    streaming counterpart of the batch gaps-and-islands sessionization.
+    Spark merges overlapping session state across triggers."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str = "stream_test") -> DataFrame:
+    """Drain a finite file stream (availableNow) into an in-memory table
+    and return it as a DataFrame — the test/verification harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,51 @@
+"""LSH ANN quality: recall against the exact brute-force top-k."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        knn_brute_force,
+        knn_lsh_bucketed,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_brute_force(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_lsh_bucketed(spark, SF_SMOKE).collect()
+    }
+    assert approx, "LSH returned nothing"
+    # Every LSH hit must be a genuine same-bucket neighbor the exact
+    # ranking would order identically — check containment of scores:
+    recall = len(exact & approx) / len(exact)
+    # Near-orthogonal random vectors are the worst case for sign-LSH;
+    # the planted structure still yields usable recall.
+    assert recall >= 0.2, f"recall {recall:.2f} too low"
+
+
+def test_lsh_buckets_partition_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        lsh_bucket,
+        with_norm,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    e = lsh_bucket(with_norm(load_table(spark, SF_SMOKE, "embeddings")))
+    stats = e.agg(
+        F.countDistinct("bucket").alias("n_buckets"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("bucket").alias("max_b"),
+        F.min("bucket").alias("min_b"),
+    ).first()
+    assert stats.n_buckets > 16  # 8 planes → up to 256 buckets
+    assert 0 <= stats.min_b and stats.max_b < 256
+    # determinism: same seed → same buckets
+    e2 = lsh_bucket(with_norm(load_table(spark, SF_SMOKE, "embeddings")))
+    assert e.select("vec_id", "bucket").exceptAll(e2.select("vec_id", "bucket")).count() == 0

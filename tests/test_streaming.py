@@ -1,0 +1,100 @@
+"""Streaming ↔ batch equivalence: a drained finite stream must produce
+exactly the batch results for every window the final watermark closed;
+only still-open tail windows (within the 1 h watermark of max event
+time) may be withheld.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_us_dir(spark, tmp_path_factory):
+    """The driver fixture has ns timestamps; materialize a µs-timestamp
+    copy once for the file stream source."""
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def max_ts(spark, events_us_dir):
+    return spark.read.parquet(events_us_dir).agg(F.max("ts")).first()[0]
+
+
+def _drain(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_us_dir, max_ts):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.timeseries import (
+        events_hourly_rollup,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        hourly_rollup_stream,
+        stream_events,
+    )
+
+    streamed = _drain(
+        hourly_rollup_stream(stream_events(spark, events_us_dir, max_files_per_trigger=1)),
+        "hourly_stream",
+    )
+    batch = events_hourly_rollup(spark, SF_SMOKE)
+    # Nothing streamed that batch doesn't have:
+    assert streamed.exceptAll(batch).count() == 0
+    # Batch rows missing from the stream are exactly the windows the
+    # final watermark (max_ts - 1h) hadn't closed (window_end > wm):
+    missing = batch.exceptAll(streamed)
+    wm = F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    not_tail = missing.filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= wm)
+    assert not_tail.count() == 0
+    assert streamed.count() > 0
+
+
+def test_session_stream_matches_batch_closed_sessions(spark, events_us_dir, max_ts):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.timeseries import (
+        events_user_sessions,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        sessionize_stream,
+        stream_events,
+    )
+
+    sessions = _drain(
+        sessionize_stream(stream_events(spark, events_us_dir)), "session_stream"
+    )
+    assert sessions.count() > 0
+    assert sessions.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+    # Spark's session_window end = last_event + gap; the batch twin
+    # reports session_end = last event ts. Align and compare the
+    # watermark-closed subset exactly.
+    wm = F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    streamed_closed = sessions.select(
+        "user_id",
+        F.col("session_start"),
+        (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias("last_event"),
+        "n_events",
+    ).filter(F.col("session_end") <= wm)
+    batch = events_user_sessions(spark, SF_SMOKE).select(
+        "user_id",
+        F.col("session_start"),
+        F.col("session_end").alias("last_event"),
+        "n_events",
+    )
+    assert streamed_closed.count() > 0
+    assert streamed_closed.exceptAll(batch).count() == 0
