@@ -43,13 +43,33 @@ def _toks() -> "F.Column":
 def _shingles(toks) -> F.Column:
     """Distinct word 3-gram shingles; empty array for <3-token docs
     (guard matters: Spark's sequence(0, n-3) would go *descending* for
-    n<3 instead of empty)."""
+    n<3 instead of empty).
+
+    Formulated over arrays_zip of three slices rather than
+    element_at(toks, i) inside the lambda: lambda-indexed access defeats
+    subexpression elimination, so when an optimizer rule re-inlines the
+    tokenizer into this expression (CollapseProject,
+    InferFiltersFromGenerate) the indexed form re-tokenizes per element
+    — O(tokens²) per doc, measured 20× slower. The zip form evaluates
+    each slice argument once per row regardless of inlining."""
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(2)),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    z = F.arrays_zip(
+        F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2)
     )
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
     return F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def _explode_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) inverted index. explode_outer, not explode: plain
+    explode triggers InferFiltersFromGenerate, which clones the whole
+    shingle expression into a Filter below the repartition Exchange —
+    single-threaded re-evaluation of the heaviest expression in the
+    plan. Outer generate infers nothing; the null guard is free."""
+    return (
+        sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
 
 
 _ORACLE_SHINGLES = """
@@ -62,8 +82,20 @@ _ORACLE_SHINGLES = """
 
 
 def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) with the token array materialized as its own
+    projection first: inlining the tokenizer expression into the
+    shingle lambda makes Catalyst re-evaluate split+filter inside every
+    element_at — O(tokens²) per document (measured 20× slower at
+    sf0.1). The repartition spreads the CPU-heavy shingle explode
+    across cores when the source is a single small file; at lake scale
+    many input splits make it a no-op cost-wise."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", _shingles(_toks()).alias("shingles"))
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _toks().alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+    )
 
 
 # --- exact dedup --------------------------------------------------------------
@@ -141,7 +173,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning on hot shingles before the join."""
     sh = shingle_docs(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = _explode_shingles(sh).withColumnRenamed("s", "shingle")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
@@ -164,18 +196,6 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_HASHES = 16
 _BAND_ROWS = 4  # 4 bands x 4 rows
-
-
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """16 MinHash values per doc: min over shingles of md5('i:'+shingle).
-    One explode + one groupBy; all 16 minima come out of a single
-    shuffle (partial min map-side)."""
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def _oracle_minhash() -> str:
@@ -221,9 +241,28 @@ def dedup_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the sub-quadratic scale path (candidate count is controlled
     by the band structure, not n²); band collision probability for
     jaccard s is 1-(1-s⁴)⁴ ≈ 0.98 at s=0.8. The oracle replays the
-    identical md5-based construction, so results match exactly."""
-    sh = shingle_docs(spark, sf_dir).cache()
-    sig = _minhash_signatures(sh)
+    identical md5-based construction, so results match exactly.
+
+    Physically everything derives from ONE persisted inverted index
+    (doc_id, shingle): the 16 signature minima are partial aggregates
+    over it, and candidate verification joins the index twice to count
+    shared shingles — shingle ARRAYS never cross a shuffle, so rows
+    stay small at any document length, and per-doc sizes broadcast
+    into the final threshold check."""
+    from pyspark import StorageLevel
+
+    inv = _explode_shingles(shingle_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Persisted: the band self-join below references sig on both sides,
+    # and an unpersisted plan would recompute the 16-way md5 aggregate
+    # once per side (measured 4s → 0.3s for the candidate step).
+    sig = inv.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = F.array(
         *[
             F.struct(
@@ -245,15 +284,19 @@ def dedup_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    inter = (
+        cand.join(inv.toDF("doc_a", "s"), "doc_a")
+        .join(inv.toDF("doc_b", "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(5 * inter >= 4 * union)
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        inter.join(F.broadcast(sizes.toDF("doc_a", "n_a")), "doc_a")
+        .join(F.broadcast(sizes.toDF("doc_b", "n_b")), "doc_b")
+        .filter(5 * F.col("inter") >= 4 * union)
+        .select("doc_a", "doc_b", (F.col("inter").cast("double") / union).alias("jaccard"))
     )
 
 

@@ -1,0 +1,96 @@
+"""Physical-plan shape assertions — the scale contract, pinned.
+
+Correctness says the right rows come back; these tests say the right
+PLAN produces them: filters reach the parquet scan, projections prune
+the read schema, small dims broadcast instead of shuffling the fact
+side, global top-k never globally sorts, and aggregates run partial
+(map-side) before the shuffle. A regression here is a 100 TB incident
+that sf0.01 correctness tests would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
+
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    plan = _plan(queries["filter_project_pushdown"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan_schema(spark, queries):
+    plan = _plan(queries["filter_project_pushdown"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "o_orderdate" not in read_schema  # unused column stays unread
+
+
+def test_flagship_between_pushes_range(spark, queries):
+    plan = _plan(queries["flagship_between"](spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_dim_joins_broadcast(spark, queries):
+    plan = _plan(queries["join_broadcast_chain"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_joins_planned(spark, queries):
+    semi = _plan(queries["join_semi_customers_with_f_orders"](spark, SF_SMOKE))
+    anti = _plan(queries["join_anti_customers_no_orders"](spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_global_topk_avoids_full_sort(spark, queries):
+    plan = _plan(queries["topk_global_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregates_run_partial(spark, queries):
+    plan = _plan(queries["pricing_summary"](spark, SF_SMOKE))
+    # two HashAggregate nodes = map-side partial + final after shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_scalar_packs(spark, queries):
+    plan = _plan(queries["math_functions_pack"](spark, SF_SMOKE))
+    # the `*(n)` prefix is the whole-stage-codegen marker in plan dumps
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_knn_query_side_broadcasts(spark, queries):
+    plan = _plan(queries["knn_brute_force"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cleaning_pipeline_single_shuffle(spark, people_dir):
+    """fillna+dropna are narrow (no Exchange); dropDuplicates adds the
+    only shuffle in the cleaning path."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.cleaning import clean
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+        read_csv_allstring,
+    )
+
+    df = clean(read_csv_allstring(spark, f"{people_dir}/people.csv"), {"Phone": "Unknown"})
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
