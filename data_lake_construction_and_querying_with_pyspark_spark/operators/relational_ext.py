@@ -1,0 +1,233 @@
+"""Extended SQL surface: pivot, subquery flavors, lateral explode,
+conditional aggregation, percentiles, null handling, union-by-name,
+sampling (SURVEY.md §2.7 — all reachable through the reference's Q1
+SQL pass-through, here pinned as tested builders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (status → columns). Explicit value list keeps the plan a
+    single pass (no distinct-values pre-scan at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*)
+                          FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (above-mean filter); the mean uses
+    the exact-decimal-sum/count contract so both engines derive the
+    same threshold."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                       / COUNT(*)
+                              FROM orders)
+        """
+    )
+
+
+@register(
+    "in_subquery_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def in_subquery_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (planned as a left-semi join)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@register(
+    "lateral_explode_top_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def lateral_explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral unnest) → global token frequency top-20.
+    Partial counts map-side; only per-partition top candidates would
+    need to survive at scale (TakeOrdered after agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "conditional_agg_status_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS filled_revenue,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS filled_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (filtered sums without a self-join)."""
+    o = load_table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    filled = F.sum(F.when(is_f, 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return o.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        filled.alias("n_filled"),
+        F.sum(
+            F.when(is_f, F.col("o_totalprice").cast("decimal(18,2)")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("filled_revenue"),
+        (filled.cast("double") / n).alias("filled_share"),
+    )
+
+
+@register(
+    "percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_disc,
+           MIN(c_acctbal) AS bal_min, MAX(c_acctbal) AS bal_max
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (continuous + discrete). Exact
+    percentiles need the group's values together — at 100 TB prefer
+    approx_percentile (t-digest sketch, map-side mergeable); both are
+    exposed, this one is the oracle-checkable path."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_disc,
+               MIN(c_acctbal) AS bal_min, MAX(c_acctbal) AS bal_max
+        FROM customer GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "null_handling_pack",
+    oracle="""
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'recovered') AS etype_recovered,
+           CAST(event_type = 'error' AS BOOLEAN) AS is_error,
+           CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 0 ELSE value END AS value_or_zero,
+           ifnull(NULLIF(event_type, 'error'), 'n/a') AS etype_na
+    FROM events
+    """,
+)
+def null_handling_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface: NULLIF/COALESCE/IFNULL/IS NULL —
+    the events table has no natural nulls so NULLIF manufactures them."""
+    ev = load_table(spark, sf_dir, "events")
+    nulled = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        F.coalesce(nulled, F.lit("recovered")).alias("etype_recovered"),
+        (F.col("event_type") == "error").alias("is_error"),
+        F.when(nulled.isNull(), F.lit(0.0)).otherwise(F.col("value")).alias("value_or_zero"),
+        F.ifnull(nulled, F.lit("n/a")).alias("etype_na"),
+    )
+
+
+@register(
+    "union_by_name_projections",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS src FROM orders
+    WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT l_orderkey AS id, l_extendedprice AS amount, 'lineitem' AS src FROM lineitem
+    WHERE l_extendedprice > 90000
+    """,
+)
+def union_by_name_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered projections (schema
+    aligned by column name, not position)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    b = li.filter(F.col("l_extendedprice") > 90000).select(
+        F.lit("lineitem").alias("src"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_orderkey").alias("id"),
+    )
+    return a.unionByName(b)
+
+
+@register("tablesample_orders", oracle=None)
+def tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (~10%). Sampling is engine-specific RNG →
+    rows-only driver check; tests assert the fraction statistically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")

@@ -59,6 +59,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Import for side effect: each module registers its queries.
     from data_lake_construction_and_querying_with_pyspark_spark.operators import relational  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import relational_ext  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import dedup  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import text  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import similarity  # noqa: F401

@@ -1,0 +1,82 @@
+"""Salted-join equivalence and sampling/catalog utility tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _load(spark, name):
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    return load_table(spark, SF_SMOKE, name)
+
+
+def test_salted_join_equals_plain_inner(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.joins import join_salted
+
+    li = _load(spark, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _load(spark, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(o, "o_orderkey")
+    salted = join_salted(li, o, "o_orderkey", n_salts=8)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.joins import join_salted
+
+    o = _load(spark, "orders").select("o_orderkey", "o_custkey")
+    # restrict right side so some orders go unmatched
+    c = _load(spark, "customer").filter(F.col("c_custkey") < 50).select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey", "left")
+    salted = join_salted(o, c, "o_custkey", n_salts=4, how="left")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.joins import join_salted
+
+    with pytest.raises(ValueError, match="inner/left"):
+        join_salted(_load(spark, "orders"), _load(spark, "customer"), "x", how="full")
+
+
+def test_salted_plan_spreads_key(spark):
+    """The join key in the salted plan is (key, _salt) — visible in the
+    physical plan's join condition."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.joins import join_salted
+
+    li = _load(spark, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _load(spark, "orders").select("o_orderkey", "o_orderpriority")
+    plan = join_salted(li, o, "o_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_tablesample_fraction(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
+
+    n_total = _load(spark, "orders").count()
+    n_sample = all_queries()["tablesample_orders"](spark, SF_SMOKE).count()
+    assert 0.04 * n_total < n_sample < 0.2 * n_total
+
+
+def test_catalog_register_table_roundtrip(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.catalog import (
+        normalize_column_names,
+        register_table,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["User Id", "Job Title"])
+    norm = normalize_column_names(df)
+    assert norm.columns == ["user_id", "job_title"]
+    register_table(spark, df, "catalog_test_tbl")
+    back = spark.sql("SELECT user_id, job_title FROM catalog_test_tbl ORDER BY user_id")
+    assert [tuple(r) for r in back.collect()] == [(1, "x"), (2, "y")]
+    spark.sql("DROP TABLE catalog_test_tbl")
