@@ -225,6 +225,20 @@ def union_by_name_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+@register("approx_percentiles_prices", oracle=None)
+def approx_percentiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the 100 TB percentile
+    path — map-side mergeable, no per-group value materialization.
+    Sketch estimates are engine-specific → rows-only driver check; the
+    exact twin is ``percentiles_by_segment``."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", 0.99, 10000).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("tablesample_orders", oracle=None)
 def tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (~10%). Sampling is engine-specific RNG →
