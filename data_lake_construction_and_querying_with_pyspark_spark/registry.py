@@ -64,6 +64,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import text  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import similarity  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import timeseries  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import asof  # noqa: F401
 
     return {name: spec.fn for name, spec in QUERIES.items()}
 

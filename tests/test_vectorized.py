@@ -1,0 +1,86 @@
+"""Pandas-UDF surface: every vectorized Python function must agree with
+its JVM twin (the Python path may never drift from built-in semantics).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _emb(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_quality_score_matches_jvm_twin(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.functions import (
+        quality_score_pandas,
+    )
+
+    docs = _docs(spark)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    jvm = (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("s")
+    both = docs.select(
+        "doc_id", jvm, quality_score_pandas(F.col("text")).alias("p")
+    )
+    mismatch = both.filter(F.col("s") != F.col("p")).count()
+    assert mismatch == 0
+
+
+def test_cosine_udf_matches_jvm_fold(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.functions import (
+        cosine_to_query_pandas,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        dot,
+        with_norm,
+    )
+
+    e = _emb(spark)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    udf_cos = cosine_to_query_pandas(qvec)
+    py = {r.vec_id: r.c for r in e.select("vec_id", udf_cos(F.col("embedding")).alias("c")).collect()}
+
+    en = with_norm(e)
+    qn = math.sqrt(sum(x * x for x in qvec))
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    jvm = {
+        r.vec_id: r.c
+        for r in en.select(
+            "vec_id", (dot(F.col("v"), qcol) / (F.col("norm") * F.lit(qn))).alias("c")
+        ).collect()
+    }
+    for vid, c in jvm.items():
+        # numpy BLAS dot and the sequential fold may differ in last ulps
+        assert abs(py[vid] - c) < 1e-12
+
+
+def test_centroids_by_label(spark):
+    import numpy as np
+
+    from data_lake_construction_and_querying_with_pyspark_spark.functions import (
+        centroids_by_label,
+    )
+
+    e = _emb(spark)
+    cents = {r.label: (r.centroid, r.n_vectors) for r in centroids_by_label(e).collect()}
+    # independent check for one label via pandas
+    pdf = e.filter(F.col("label") == 0).toPandas()
+    expect = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype="float64"))).mean(axis=0)
+    got, n = cents[0]
+    assert n == len(pdf)
+    assert np.allclose(got, expect)
+    # every label present, centroid dim matches
+    assert len(cents) == e.select("label").distinct().count()
+    assert all(len(c) == 64 for c, _ in cents.values())
