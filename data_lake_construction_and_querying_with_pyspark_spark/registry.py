@@ -65,6 +65,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import similarity  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import timeseries  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import asof  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        streaming_hourly_rollup_query,
+    )
+
+    if "streaming_hourly_rollup" not in QUERIES:
+        QUERIES["streaming_hourly_rollup"] = QuerySpec(
+            name="streaming_hourly_rollup",
+            fn=streaming_hourly_rollup_query,
+            oracle=None,
+            doc="Structured Streaming hourly rollup drained via availableNow (rows-only).",
+        )
 
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -84,6 +84,31 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def streaming_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable streaming entry (rows-only): materialize the
+    events table with µs timestamps, run the watermarked hourly rollup
+    as a real Structured Streaming query (file source → availableNow →
+    memory sink), return the drained result. Emits every window the
+    final watermark closed; the batch twin (`events_hourly_rollup`) is
+    the oracle-checked path."""
+    import tempfile
+
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    staging = tempfile.mkdtemp(prefix="stream_events_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+    q = (
+        hourly_rollup_stream(stream_events(spark, staging))
+        .writeStream.format("memory")
+        .queryName("streaming_hourly_rollup_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_hourly_rollup_result")
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str = "stream_test") -> DataFrame:
     """Drain a finite file stream (availableNow) into an in-memory table
     and return it as a DataFrame — the test/verification harness path."""
