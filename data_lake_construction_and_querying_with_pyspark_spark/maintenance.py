@@ -53,6 +53,39 @@ def hadoop_delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(hpath, True)) if fs.exists(hpath) else False
 
 
+def compact_lake_path(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the lake-maintenance op every streaming
+    or incremental writer eventually needs: rewrite a directory into
+    ~``target_file_mb`` files. At 100 TB small files dominate scan
+    planning time and NameNode/object-listing cost; compaction restores
+    ≥128 MiB scan units. Returns the new file count.
+
+    Uses a write-to-staging-then-swap so a failed rewrite never loses
+    the original data.
+    """
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    df = spark.read.format(fmt).load(path)
+    total_bytes = sum(f.stat().st_size for f in Path(path).rglob("*") if f.is_file())
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    staging = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files).write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(staging)
+    shutil.rmtree(path)
+    Path(staging).rename(path)
+    return sum(1 for f in Path(path).rglob("*") if f.is_file() and f.suffix == f".{fmt}")
+
+
 def preview(df: DataFrame, n: int = 20) -> str:
     """S9 — the reference's result-preview sink (``df.show()`` grid to
     the log); returned as a string so callers can log it structured."""

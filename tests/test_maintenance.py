@@ -42,6 +42,23 @@ def test_hadoop_delete(spark, tmp_path):
     assert hadoop_delete(spark, out) is False
 
 
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from data_lake_construction_and_querying_with_pyspark_spark.maintenance import (
+        compact_lake_path,
+    )
+
+    out = str(tmp_path / "many_files")
+    # 64 tiny files
+    spark.range(100000).repartition(64).write.parquet(out)
+    before = len([f for f in Path(out).rglob("*.parquet")])
+    assert before == 64
+    after = compact_lake_path(spark, out, target_file_mb=128)
+    assert after < before
+    back = spark.read.parquet(out)
+    assert back.count() == 100000
+    assert back.agg({"id": "sum"}).first()[0] == 100000 * 99999 // 2
+
+
 def test_preview_renders_grid(spark):
     from data_lake_construction_and_querying_with_pyspark_spark.maintenance import preview
 
