@@ -53,6 +53,46 @@ def read_csv_allstring(
     return reader.csv(path)
 
 
+def read_csv_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    sep: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """All-string CSV scan that quarantines malformed rows instead of
+    silently dropping or failing on them: PERMISSIVE mode parks the raw
+    line of any row with the wrong field count in ``corrupt_col``
+    (NULL for clean rows). The construction pipeline can then split
+    clean/quarantine frames — at lake scale you write the quarantine
+    partition out for triage rather than aborting a 100 TB ingest."""
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in columns]
+        + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"):
+    """(clean_df_without_marker, quarantine_df) from a corrupt-capture
+    scan. Caching first is the documented Spark requirement: the
+    corrupt column is only populated during parsing, and an uncached
+    double-scan may race the filter against re-parsing."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, quarantine
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan — footer schema, pushdown-capable."""
     return spark.read.parquet(path)

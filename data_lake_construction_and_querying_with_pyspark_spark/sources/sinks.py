@@ -39,6 +39,26 @@ def write_lake(
         raise ValueError(f"Unsupported sink format: {fmt!r}")
 
 
+def write_sorted_lake(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Range-partition + sort-within-partitions write: rows cluster by
+    ``sort_cols`` so each output file covers a narrow value range and
+    parquet min/max statistics turn range predicates into file/row-group
+    skips. The lake-layout half of predicate pushdown: Catalyst pushes
+    the filter, this write makes the filter selective per file. (The
+    same idea as Z-ordering for the single-column case.)"""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in sort_cols]
+    out = df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    out.sortWithinPartitions(*cols).write.mode("overwrite").format(fmt).save(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

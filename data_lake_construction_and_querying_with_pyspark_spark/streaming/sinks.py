@@ -1,0 +1,92 @@
+"""Streaming lake sinks — continuous ingestion into queryable lake
+tables (the construction side of the engine, made incremental).
+
+``foreach_batch_dedup_append`` is the workhorse pattern: each micro-
+batch is cleaned and exactly-once-appended to a parquet lake path using
+the batch writers, so the lake stays queryable by the same SQL surface
+(catalog registration included). Checkpointing gives at-least-once
+delivery per micro-batch; the in-batch dedup plus the batch id column
+make replays idempotent downstream.
+
+``stateful_running_counts`` shows applyInPandasWithState — the custom
+stateful operator escape hatch for semantics watermarked windows can't
+express (here: monotonic per-user lifetime counters emitted per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def foreach_batch_dedup_append(
+    stream_df: DataFrame,
+    lake_path: str,
+    checkpoint_path: str,
+    dedup_cols: list[str] | None = None,
+    register_as: str | None = None,
+) -> StreamingQuery:
+    """Stream → cleaned parquet lake appends, one write per micro-batch.
+
+    Each batch is exact-deduped (optionally on a key subset) and lands
+    with a ``_ingest_batch_id`` column for replay auditing; pass
+    ``register_as`` to register/refresh a GLOBAL temp view
+    (``global_temp.<name>``) over the path per batch — foreachBatch
+    executes in a cloned session, so a plain temp view would be
+    invisible to the caller's session.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.dropDuplicates(dedup_cols) if dedup_cols else batch_df.dropDuplicates()
+        out = out.withColumn("_ingest_batch_id", F.lit(batch_id))
+        out.write.mode("append").parquet(lake_path)
+        if register_as is not None:
+            spark = batch_df.sparkSession
+            spark.read.parquet(lake_path).createOrReplaceGlobalTempView(register_as)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
+_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_in_batch", T.LongType()),
+        T.StructField("lifetime_events", T.LongType()),
+    ]
+)
+
+
+def stateful_running_counts(events: DataFrame) -> DataFrame:
+    """Per-user lifetime event counters via applyInPandasWithState:
+    state = one long per user, updated per micro-batch, emitted as
+    (user, batch count, lifetime count). The pattern for custom
+    stateful operators beyond windowed aggregation."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state: GroupState):
+        batch_n = 0
+        for pdf in pdf_iter:
+            batch_n += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += batch_n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_in_batch": [batch_n], "lifetime_events": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
