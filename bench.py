@@ -25,6 +25,7 @@ HEADLINE = [
     "pricing_summary",
     "join_broadcast_chain",
     "join_fact_fact_revenue",
+    "local_supplier_volume_q5",
     "window_topk_per_customer",
     "events_user_sessions",
     "cte_top_revenue_nations",

@@ -120,24 +120,35 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band join (|l_quantity − p_size| ≤ 2) as a bucket-expanded
-    equi-join: each part explodes into its 5 integer buckets, lineitem
-    joins on floor(quantity) = bucket, and the exact range predicate
-    re-filters. The oracle's raw theta join would plan a nested-loop
-    at scale; the expansion shuffles on an equi-key instead."""
+    """Band join (|l_quantity − p_size| ≤ 2) with the fact side
+    PRE-AGGREGATED by the band key before the expansion join.
+
+    The naive bucket-expanded join materializes |parts-in-band| ×
+    |lineitems-per-bucket| rows — measured ~1.2 BILLION intermediate
+    rows at sf0.1 (50 distinct quantities, wide bands) before the
+    group-by collapses them. Because the final aggregates are
+    decomposable (sum/count over the band), aggregating lineitem per
+    integer quantity FIRST shrinks the join's right side to ≤50 rows;
+    the join output is then |parts| × 5 regardless of fact-table size.
+    This quantity pre-aggregation assumes integral band keys — for
+    fractional quantities aggregate at the band's granularity."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    li_agg = F.broadcast(
+        li.groupBy(F.floor("l_quantity").cast("int").alias("qbucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
     buckets = p.select(
         "p_partkey",
-        "p_size",
         F.explode(F.sequence(F.col("p_size") - 2, F.col("p_size") + 2)).alias("qbucket"),
     )
-    li_b = li.withColumn("qbucket", F.floor("l_quantity").cast("int"))
-    joined = buckets.join(li_b, "qbucket").filter(
-        (F.col("l_quantity") >= F.col("p_size") - 2)
-        & (F.col("l_quantity") <= F.col("p_size") + 2)
-    )
-    return joined.groupBy("p_partkey").agg(
-        F.count(F.lit(1)).alias("n_lineitems"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("band_revenue"),
+    return (
+        buckets.join(li_agg, "qbucket")
+        .groupBy("p_partkey")
+        .agg(
+            F.sum("n").alias("n_lineitems"),
+            F.sum("rev").cast("double").alias("band_revenue"),
+        )
     )
