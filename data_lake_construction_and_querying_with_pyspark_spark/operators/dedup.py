@@ -380,3 +380,99 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") > 0.4)
     )
+
+
+# --- near-dup cluster assignment (connected components) ------------------------
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    vertex starts labeled with its own id; each round every vertex
+    takes the min label in its neighborhood; stop when no label
+    changes. O(diameter) rounds of one shuffle each — near-dup cluster
+    graphs have tiny diameters (dup groups are near-cliques), so this
+    converges in 2-3 rounds where a generic graph library would be
+    overkill. ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1.
+
+    Returns (vertex, component) with component = min vertex id in the
+    component.
+    """
+    from pyspark import StorageLevel
+
+    # Persisted: the loop touches the edge list every round (plus one
+    # changed-count per round) — without this the full upstream pair
+    # pipeline (shingling, candidate join) re-executes per iteration.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # (id, label) kept disjoint from sym's (u, v) names so the repeated
+    # self-referential joins never hit ambiguous-column resolution.
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    # Labels only ever decrease, so Σlabel is a convergence certificate:
+    # one cheap aggregate per round instead of a join-and-compare pass.
+    prev_sum = None
+    while True:
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("u", "id")
+        )
+        labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
+        prev_sum = cur_sum
+
+
+_ORACLE_PAIRS = """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND 5 * len(list_intersect(a.shingles, b.shingles))
+              >= 4 * (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles)))
+"""
+
+
+@register(
+    "dedup_cluster_assignment",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_ORACLE_SHINGLES}),
+    pairs AS ({_ORACLE_PAIRS}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's last rung: near-dup PAIRS (word-3-gram
+    Jaccard ≥ 0.8) become CLUSTERS via connected components, so each
+    group keeps exactly one canonical document (the min doc_id).
+    Iterative DataFrame algorithm — no SQL equivalent in Spark — while
+    the oracle computes the same fixpoint with a recursive CTE."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("vertex").alias("doc_id"), F.col("component").cast("bigint").alias("cluster_id"))

@@ -202,3 +202,41 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(d).alias("l2_norm"),
         (d / F.size("embedding")).alias("mean_sq"),
     )
+
+
+@register("knn_ml_bucketed_projection", oracle=None)
+def knn_ml_bucketed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via pyspark.ml's BucketedRandomProjectionLSH (Euclidean) —
+    the library alternative to the hand-rolled sign-projection LSH:
+    approxSimilarityJoin over hashed buckets, per-query top-10 by
+    distance. Rows-only (seeded but engine-specific hashing);
+    tests/test_similarity.py checks its neighbors against brute force.
+
+    Trade-off vs the custom LSH: ml's variant is Euclidean-distance
+    (not cosine) and builds a Vector column (an extra conversion), but
+    inherits a maintained implementation with multi-table AND-OR
+    amplification behind one parameter pair."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(as_double_vec(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=8, seed=7
+    )
+    model = lsh.fit(e)
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    joined = model.approxSimilarityJoin(q, e, threshold=float("inf"), distCol="dist").filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            "dist",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )

@@ -49,3 +49,43 @@ def test_lsh_buckets_partition_corpus(spark):
     # determinism: same seed → same buckets
     e2 = lsh_bucket(with_norm(load_table(spark, SF_SMOKE, "embeddings")))
     assert e.select("vec_id", "bucket").exceptAll(e2.select("vec_id", "bucket")).count() == 0
+
+
+def test_ml_lsh_neighbors_overlap_euclidean_brute_force(spark):
+    """pyspark.ml BucketedRandomProjectionLSH candidates must overlap
+    the exact Euclidean top-k (sanity: the library path works and
+    returns genuine near neighbors)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        knn_ml_bucketed_projection,
+        with_norm,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ml_bucketed_projection(spark, SF_SMOKE).collect()
+    }
+    assert approx
+
+    e = with_norm(load_table(spark, SF_SMOKE, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q.crossJoin(e)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dist2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ml-LSH recall {recall:.2f}"
