@@ -476,3 +476,51 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(F.col("vertex").alias("doc_id"), F.col("component").cast("bigint").alias("cluster_id"))
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH sim AS ({_oracle_simhash()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a, sim b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3, found with
+    pigeonhole banding: split the 32-bit signature into 4 byte-bands —
+    any pair within Hamming 3 must agree on ≥1 whole band (4 bands, ≤3
+    differing bits), so the band equi-join yields a COMPLETE candidate
+    set and the exact bit_count(xor) check keeps no false positives.
+    The oracle brute-forces all pairs; this plan joins ~n/256-sized
+    buckets instead of n²."""
+    sim = dedup_simhash_signatures(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.toDF("doc_a", "sim_a", "band", "key")
+    b = bands.toDF("doc_b", "sim_b", "band", "key")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )

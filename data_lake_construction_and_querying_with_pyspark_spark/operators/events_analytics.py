@@ -1,0 +1,104 @@
+"""Event-pipeline analytics: ordered funnels and cohort retention —
+the product-analytics operators an events lake serves daily. Both are
+pure DataFrame aggregation chains (no window over the raw stream needed)
+so they scale as a handful of keyed shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+_FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    s AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'signup' AND e.ts > c.t2 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.t3 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→signup→purchase: a user advances a
+    step only with an event strictly after their previous step's first
+    occurrence. Each stage is one filtered groupBy + semi-structured
+    join on user_id — per-stage shuffles on the same key, which a
+    pre-bucketed events table would make shuffle-free."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, step: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t2", "t1")
+    s = first_after(c, "signup", "t3", "t2")
+    p = first_after(s, "purchase", "t4", "t3")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [(v, "n_view"), (c, "n_click"), (s, "n_signup"), (p, "n_purchase")]
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+               AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × day-offset retention triangle: users grouped by first-
+    activity day, activity counted per day offset. The first-activity
+    frame is small (one row per user) → broadcast into the events
+    scan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = F.broadcast(
+        ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day"))
+    )
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

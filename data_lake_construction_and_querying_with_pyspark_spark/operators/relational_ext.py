@@ -245,3 +245,63 @@ def tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; tests assert the fraction statistically."""
     o = load_table(spark, sf_dir, "orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "window_rank_pack",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           dense_rank()   OVER w AS bal_dense_rank,
+           percent_rank() OVER w AS bal_percent_rank,
+           cume_dist()    OVER w AS bal_cume_dist,
+           ntile(4)       OVER w AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: dense_rank / percent_rank / cume_dist
+    / ntile over one segment-partitioned window (unique tiebreak keeps
+    every rank deterministic; percent_rank and cume_dist are k/n
+    rationals — single IEEE divisions, oracle-exact)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.percent_rank().over(w).alias("bal_percent_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@register(
+    "edit_distance_similar_parts",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type
+     AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def edit_distance_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity with blocking: candidate pairs share
+    p_type and first letter (equi-join keys) before the O(len²)
+    levenshtein runs — the standard trick that keeps string-similarity
+    joins off the full cross product."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    a = p.toDF("part_a", "name_a", "t").withColumn("c1", F.substring("name_a", 1, 1))
+    b = p.toDF("part_b", "name_b", "t").withColumn("c1", F.substring("name_b", 1, 1))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["t", "c1"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(dist <= 3)
+        .select("part_a", "part_b", dist.cast("int").alias("edit_dist"))
+    )
