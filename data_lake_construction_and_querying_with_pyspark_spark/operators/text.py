@@ -210,3 +210,41 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(canon, 1, 8).alias("short_fp"),
         bag.alias("bag_fp"),
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang, n_chars,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text, lang, n_chars
+        FROM scored
+        WHERE len(toks) >= 20
+          AND len(list_filter(toks, t -> t IN {_STOPWORDS!r})) > 0
+    ),
+    deduped AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               MIN(doc_id) AS doc_id
+        FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id, d.fingerprint, k.lang, k.n_chars
+    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus preparation pipeline — quality gate
+    → canonical-fingerprint dedup (keep-first) → cleaned corpus with
+    fingerprints. One narrow filter, one hash-agg shuffle on the
+    16-byte digest, one keep-first join: the shape of a real
+    pretraining data pass, end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    n_stop = _count_in(_toks(), _STOPWORDS)
+    kept = docs.filter((n_tok >= 20) & (n_stop > 0)).select("doc_id", "text", "lang", "n_chars")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    deduped = kept.groupBy(fp.alias("fingerprint")).agg(F.min("doc_id").alias("doc_id"))
+    return deduped.join(kept, "doc_id").select("doc_id", "fingerprint", "lang", "n_chars")

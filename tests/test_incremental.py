@@ -1,0 +1,73 @@
+"""Incremental fingerprint-index dedup + schema evolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        dedup_incremental,
+        init_fingerprint_index,
+    )
+
+    idx = str(tmp_path / "fp_index")
+    init_fingerprint_index(spark, idx)
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog sleeps"), (3, "THE  QUICK brown FOX")],
+        ["doc_id", "text"],
+    )
+    fresh1 = dedup_incremental(spark, b1, idx)
+    # doc 3 is a canonical duplicate of doc 1 → in-batch dedup keeps doc 1
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [(4, "lazy dog sleeps"), (5, "a brand new document")], ["doc_id", "text"]
+    )
+    fresh2 = dedup_incremental(spark, b2, idx)
+    # doc 4 duplicates batch-1 content → only doc 5 is new
+    assert [r.doc_id for r in fresh2.collect()] == [5]
+
+    index = spark.read.parquet(idx)
+    assert index.count() == 3  # three distinct contents total
+    assert index.select("fingerprint").distinct().count() == 3
+
+    # replaying batch 2 adds nothing
+    fresh3 = dedup_incremental(spark, b2, idx)
+    assert fresh3.count() == 0
+    assert spark.read.parquet(idx).count() == 3
+
+
+def test_incremental_agrees_with_batch_dedup(spark, tmp_path):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        content_fingerprint,
+        dedup_incremental,
+        init_fingerprint_index,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    half1 = docs.filter(F.col("doc_id") < 250)
+    half2 = docs.filter(F.col("doc_id") >= 250)
+
+    idx = str(tmp_path / "fp_index2")
+    init_fingerprint_index(spark, idx)
+    n_new = dedup_incremental(spark, half1, idx).count() + dedup_incremental(
+        spark, half2, idx
+    ).count()
+
+    batch_distinct = docs.select(content_fingerprint()).distinct().count()
+    assert n_new == batch_distinct
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Append-only lakes grow columns; mergeSchema reads old+new files
+    as one evolved schema with nulls for missing columns."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.parquet(p + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2"]).write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "v1", "v2", "batch"}
+    rows = {r.id: (r.v1, r.v2) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
