@@ -72,3 +72,30 @@ def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
     plan = narrow._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:300]
     assert narrow.count() > 0
+
+
+def test_partitioned_lake_prunes_partitions(spark, tmp_path):
+    """Date-partitioned output + a partition-key filter must prune at
+    planning time (PartitionFilters, one directory scanned) — the
+    docx §8 recommendation the reference never implemented."""
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.sinks import write_lake
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_lake(orders, out, "parquet", partition_by=["order_year"])
+
+    one_year = spark.read.parquet(out).filter(F.col("order_year") == 1996)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1][:200]
+    n_1996 = one_year.count()
+    assert (
+        n_1996
+        == load_table(spark, SF_SMOKE, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .count()
+        > 0
+    )
