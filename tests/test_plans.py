@@ -94,3 +94,32 @@ def test_cleaning_pipeline_single_shuffle(spark, people_dir):
     df = clean(read_csv_allstring(spark, f"{people_dir}/people.csv"), {"Phone": "Unknown"})
     plan = _plan(df)
     assert plan.count("Exchange") == 1
+
+
+# Queries that intentionally cross-join (tiny broadcast side × corpus).
+_NESTED_LOOP_OK = {
+    "knn_brute_force",
+    "knn_lsh_bucketed",  # broadcast query side
+    "dedup_embedding_cosine_pairs",  # documented O(n²) baseline
+    "funnel_conversion",  # 1-row × 1-row count cross joins
+}
+
+_SLOW = {"dedup_cluster_assignment", "streaming_hourly_rollup"}  # iterative / streaming
+
+
+def test_no_accidental_cartesian_plans(spark, queries):
+    """Every registered query's physical plan is scanned for join
+    strategies that explode at scale; anything outside the explicit
+    allowlist failing this means a join condition got lost."""
+    offenders = {}
+    for name, fn in queries.items():
+        if name in _NESTED_LOOP_OK | _SLOW:
+            continue
+        plan = _plan(fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders[name] = [
+                line.strip()
+                for line in plan.splitlines()
+                if "CartesianProduct" in line or "BroadcastNestedLoopJoin" in line
+            ][:2]
+    assert not offenders, offenders
