@@ -45,8 +45,11 @@ class ValidationReport:
 def null_count_exprs(df: DataFrame) -> list:
     """One ``sum(isnull as int)`` per column — reference A3
     (``scripts/...pyspark.py:93``), aliased to ``null_<col>``."""
+    # coalesce: SUM over zero rows is NULL, and an empty input must
+    # report 0 nulls, not None (hypothesis-found edge case).
     return [
-        F.sum(F.col(c).isNull().cast("int")).alias(f"null_{c}") for c in df.columns
+        F.coalesce(F.sum(F.col(c).isNull().cast("int")), F.lit(0)).alias(f"null_{c}")
+        for c in df.columns
     ]
 
 

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input frame, not just the fixtures — the reference shipped zero tests
+(SURVEY.md §5); this is the opposite end of that spectrum.
+
+Examples are deliberately few (Spark jobs per example are ~100 ms);
+hypothesis still explores edge shapes: empty frames, all-null columns,
+all-duplicate frames, unicode text.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_text = st.text(alphabet="ab λé ", min_size=0, max_size=12)
+_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.one_of(st.none(), _text), st.one_of(st.none(), _text)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(rows=_rows, fill=_text)
+@settings(**_SETTINGS)
+def test_clean_pipeline_invariants(spark, rows, fill):
+    """After clean(): no nulls anywhere, no duplicate rows, imputed
+    column survived with the fill value, and row count never grows."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.cleaning import clean
+
+    df = spark.createDataFrame(rows, "k int, a string, b string") if rows else spark.createDataFrame([], "k int, a string, b string")
+    out = clean(df, {"a": fill})
+    collected = out.collect()
+    assert len(collected) <= len(rows)
+    assert len({tuple(r) for r in collected}) == len(collected)  # deduped
+    for r in collected:
+        assert r.a is not None  # imputed
+        assert r.b is not None  # dropna removed the rest
+    # every surviving row's b existed in the input
+    in_b = {b for _, _, b in rows if b is not None}
+    assert {r.b for r in collected} <= in_b
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_validation_counts_match_pandas(spark, rows):
+    """Single-pass validation == naive recount on the same data."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.validation import (
+        validate,
+    )
+
+    df = spark.createDataFrame(rows, "k int, a string, b string") if rows else spark.createDataFrame([], "k int, a string, b string")
+    rep = validate(df)
+    assert rep.total_rows == len(rows)
+    assert rep.distinct_rows == len(set(rows))
+    assert rep.null_counts["a"] == sum(1 for _, a, _ in rows if a is None)
+    assert rep.null_counts["b"] == sum(1 for _, _, b in rows if b is None)
+
+
+@given(
+    keys=st.lists(st.integers(0, 3), min_size=0, max_size=10),
+    right_keys=st.lists(st.integers(0, 3), min_size=0, max_size=4, unique=True),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equivalence_property(spark, keys, right_keys):
+    """join_salted(inner) ≡ plain inner join for arbitrary key multisets."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.joins import join_salted
+
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(keys)] or [], "k int, v int")
+    small = spark.createDataFrame([(k, -k) for k in right_keys] or [], "k int, w int")
+    plain = sorted(tuple(r) for r in big.join(small, "k").collect())
+    salted = sorted(tuple(r) for r in join_salted(big, small, "k", n_salts=3).collect())
+    assert plain == salted
