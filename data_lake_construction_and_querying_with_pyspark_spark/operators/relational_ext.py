@@ -305,3 +305,16 @@ def edit_distance_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 3)
         .select("part_a", "part_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+@register("stratified_sample_orders", oracle=None)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-status) seeded sampling via sampleBy — downsample
+    hot strata, keep rare ones whole: the class-balancing primitive for
+    training-data curation. Engine-specific RNG → rows-only; tests
+    assert per-stratum fractions."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"O": 0.05, "F": 0.5, "P": 1.0}
+    return o.sampleBy("o_orderstatus", fractions, seed=42).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

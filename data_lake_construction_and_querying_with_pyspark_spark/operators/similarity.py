@@ -240,3 +240,56 @@ def knn_ml_bucketed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+@register("knn_ivf_probe", oracle=None)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: a seeded
+    k-means partitions the corpus into cells; each query probes its 2
+    nearest centroids and exact-reranks only those cells (~2/k of the
+    corpus scanned). The third ANN strategy next to the custom LSH and
+    ml-LSH — IVF wins when the corpus clusters naturally (cells align
+    with data geometry; LSH cells are data-blind).
+
+    Scale path: cell_id is a plain int → write the corpus partitioned
+    by it; each query reads 2 partitions. Rows-only check (k-means is
+    engine-specific); tests assert recall vs brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    k = 16
+    e = with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "features", array_to_vector("v")
+    )
+    model = KMeans(k=k, seed=7, featuresCol="features", predictionCol="cell_id").fit(e)
+    assigned = model.transform(e).select("vec_id", "v", "norm", "cell_id").cache()
+
+    centers = model.clusterCenters()
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)], "cell_id int, centroid array<double>"
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    # per query: 2 nearest centroids by euclidean distance
+    d2 = F.aggregate(
+        F.zip_with("qv", "centroid", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd2"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "qnorm", "cell_id", d2.alias("cd2"))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= 2)
+        .select("query_id", "qv", "qnorm", "cell_id")
+    )
+    cosine = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )

@@ -80,3 +80,20 @@ def test_catalog_register_table_roundtrip(spark):
     back = spark.sql("SELECT user_id, job_title FROM catalog_test_tbl ORDER BY user_id")
     assert [tuple(r) for r in back.collect()] == [(1, "x"), (2, "y")]
     spark.sql("DROP TABLE catalog_test_tbl")
+
+
+def test_stratified_sample_fractions(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
+
+    sample = all_queries()["stratified_sample_orders"](spark, SF_SMOKE)
+    got = {
+        r.o_orderstatus: r.n
+        for r in sample.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    total = {
+        r.o_orderstatus: r.n
+        for r in _load(spark, "orders").groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["P"] == total["P"]  # fraction 1.0 keeps the rare stratum whole
+    assert 0.3 * total["F"] < got["F"] < 0.7 * total["F"]
+    assert got["O"] < 0.15 * total["O"]
