@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_lake_construction_and_querying_with_pyspark_spark.operators.relational import _dec6
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
@@ -317,4 +318,138 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"O": 0.05, "F": 0.5, "P": 1.0}
     return o.sampleBy("o_orderstatus", fractions, seed=42).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "market_share_q8",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN CAST(volume AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share,
+           CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): the deepest join tree in the
+    suite — lineitem at the center with part, supplier, orders,
+    customer, nation×2, region around it. Every dimension side is
+    broadcast, so the only shuffle is the lineitem⋈orders fact-fact
+    join; the selective p_type and date filters are applied before
+    their joins so Catalyst pushes them into the scans. Conditional
+    share = NATION_5 volume / total volume per order-year, both sums
+    exact-decimal then divided in double (determinism contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("nation") == "NATION_5", _dec6(volume)).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(nation_vol).cast("double") / F.sum(_dec6(volume)).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.sum(_dec6(volume)).cast("double").alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "product_profit_q9",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted to this schema:
+    the reference star has no partsupp, so supply cost is proxied by
+    p_retailprice × quantity. LIKE-filtered part and whole supplier /
+    nation broadcast; lineitem⋈orders is the lone shuffle join. The
+    profit expression stays in double through the subtraction (IEEE
+    ops match DuckDB bit-exactly) and is cast to DECIMAL(18,6) only
+    at the aggregation boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(_dec6(amount)).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
