@@ -78,6 +78,15 @@ def test_whole_stage_codegen_covers_scalar_packs(spark, queries):
     assert "WholeStageCodegen" in plan or "*(1)" in plan
 
 
+def test_q8_q9_filters_reach_scans(spark, queries):
+    q8 = _plan(queries["market_share_q8"](spark, SF_SMOKE))
+    assert "EqualTo(p_type,ECONOMY)" in q8  # part filter pushed
+    assert "GreaterThanOrEqual(o_orderdate" in q8  # date range pushed
+    q9 = _plan(queries["product_profit_q9"](spark, SF_SMOKE))
+    assert "StringContains(p_name,widget)" in q9  # LIKE pushed
+    assert "SortMergeJoin" not in q8 and "SortMergeJoin" not in q9
+
+
 def test_knn_query_side_broadcasts(spark, queries):
     plan = _plan(queries["knn_brute_force"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
@@ -102,6 +111,7 @@ _NESTED_LOOP_OK = {
     "knn_lsh_bucketed",  # broadcast query side
     "dedup_embedding_cosine_pairs",  # documented O(n²) baseline
     "funnel_conversion",  # 1-row × 1-row count cross joins
+    "knn_ivf_probe",  # query × 16-centroid broadcast distance table
 }
 
 _SLOW = {"dedup_cluster_assignment", "streaming_hourly_rollup"}  # iterative / streaming
