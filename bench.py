@@ -26,6 +26,7 @@ HEADLINE = [
     "join_broadcast_chain",
     "join_fact_fact_revenue",
     "local_supplier_volume_q5",
+    "market_share_q8",
     "window_topk_per_customer",
     "events_user_sessions",
     "cte_top_revenue_nations",

@@ -385,7 +385,9 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- near-dup cluster assignment (connected components) ------------------------
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", driver_gate: int = 1_000_000
+) -> DataFrame:
     """Connected components by iterative min-label propagation: every
     vertex starts labeled with its own id; each round every vertex
     takes the min label in its neighborhood; stop when no label
@@ -395,20 +397,54 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     overkill. ``localCheckpoint`` truncates the growing lineage so
     round N doesn't replay rounds 1..N-1.
 
+    Size gate: a near-dup edge list is already the *filtered* output of
+    the candidate join — even at 100 TB corpus scale it is frequently
+    driver-sized. When the (deduped, symmetric) edge count is at or
+    under ``driver_gate``, a driver union-find with path compression
+    replaces the iterative plan: one collect + O(E α(E)) local work
+    instead of rounds of join+aggregate jobs, with identical output.
+    Pass ``driver_gate=0`` to force the distributed path.
+
     Returns (vertex, component) with component = min vertex id in the
     component.
     """
     from pyspark import StorageLevel
 
-    # Persisted: the loop touches the edge list every round (plus one
-    # changed-count per round) — without this the full upstream pair
-    # pipeline (shingling, candidate join) re-executes per iteration.
+    # Persisted: both paths materialize the edge list once (the gate
+    # count), and the loop touches it every round — without this the
+    # full upstream pair pipeline (shingling, candidate join)
+    # re-executes per iteration.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if sym.count() <= driver_gate:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in sym.collect():
+            for x in (row.u, row.v):
+                if x not in parent:
+                    parent[x] = x
+            ru, rv = find(row.u), find(row.v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # min root wins → component id = min vertex
+
+        id_type = dict(edges.dtypes)[src]
+        out = edges.sparkSession.createDataFrame(
+            [(x, find(x)) for x in parent], f"vertex {id_type}, component {id_type}"
+        )
+        sym.unpersist()
+        return out
     # (id, label) kept disjoint from sym's (u, v) names so the repeated
     # self-referential joins never hit ambiguous-column resolution.
     labels = sym.select(F.col("u").alias("id")).distinct().select(

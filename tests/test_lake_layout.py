@@ -99,3 +99,69 @@ def test_partitioned_lake_prunes_partitions(spark, tmp_path):
         .count()
         > 0
     )
+
+
+def _files_overlapping(path, col, lo, hi):
+    """Files whose parquet [min,max] for `col` intersects [lo,hi] — the
+    set a stats-pruning reader must actually open."""
+    hit = 0
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        if min(mins) <= hi and max(maxs) >= lo:
+            hit += 1
+    return hit
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """Single-column sort skips perfectly on its column and not at all
+    on any other; the Z-order layout must skip files for range
+    predicates on EITHER clustered column."""
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.sinks import (
+        write_sorted_lake,
+        write_zorder_lake,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    by_custkey = str(tmp_path / "orders_custkey_sorted")
+    by_z = str(tmp_path / "orders_zorder")
+    write_sorted_lake(orders, by_custkey, ["o_custkey"], n_files=16)
+    write_zorder_lake(orders, by_z, ["o_custkey", "o_totalprice"], n_files=16)
+
+    n_sorted = len(list(Path(by_custkey).glob("*.parquet")))
+    n_z = len(list(Path(by_z).glob("*.parquet")))
+
+    # ~20% band on the UNSORTED dimension: the custkey sort can skip
+    # nothing (every file spans ~the full price range); Z-order reads
+    # only the grid rows the band crosses
+    lo, hi = orders.approxQuantile("o_totalprice", [0.4, 0.6], 0.001)
+    sorted_hits = _files_overlapping(by_custkey, "o_totalprice", lo, hi)
+    z_hits = _files_overlapping(by_z, "o_totalprice", lo, hi)
+    assert sorted_hits >= n_sorted - 1, (sorted_hits, n_sorted)
+    assert z_hits <= 0.7 * n_z, f"z-order read {z_hits}/{n_z} files for a 20% band"
+
+    # narrow predicate on the sorted dimension still skips under Z-order
+    # (coarser than the dedicated sort, but far from a full scan)
+    klo, khi = orders.approxQuantile("o_custkey", [0.45, 0.55], 0.001)
+    assert _files_overlapping(by_z, "o_custkey", klo, khi) <= 0.7 * n_z
+
+    # correctness: both layouts hold exactly the same rows
+    assert spark.read.parquet(by_z).count() == orders.count()
+    both = (
+        spark.read.parquet(by_z)
+        .filter(F.col("o_totalprice").between(lo, hi) & F.col("o_custkey").between(klo, khi))
+        .count()
+    )
+    expected = orders.filter(
+        F.col("o_totalprice").between(lo, hi) & F.col("o_custkey").between(klo, khi)
+    ).count()
+    assert both == expected

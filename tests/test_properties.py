@@ -76,3 +76,27 @@ def test_salted_join_equivalence_property(spark, keys, right_keys):
     plain = sorted(tuple(r) for r in big.join(small, "k").collect())
     salted = sorted(tuple(r) for r in join_salted(big, small, "k", n_salts=3).collect())
     assert plain == salted
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The driver union-find (edge count under the gate) and the
+    iterative min-label-propagation path must produce identical
+    (vertex, component) assignments: a chain, a triangle joined by a
+    bridge, an isolated edge, and duplicate/reversed edge entries."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (12, 13), (20, 21), (21, 20), (2, 1)],
+        "src bigint, dst bigint",
+    )
+    expected = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+    via_driver = {tuple(r) for r in connected_components(edges).collect()}
+    via_cluster = {tuple(r) for r in connected_components(edges, driver_gate=0).collect()}
+    assert via_driver == expected
+    assert via_cluster == expected
