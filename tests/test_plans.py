@@ -105,6 +105,39 @@ def test_cleaning_pipeline_single_shuffle(spark, people_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
+    """Spark's runtime bloom-filter (on in the session defaults) builds
+    a filter from the selective side of a shuffle join and applies it
+    before the probe side's exchange — at 100 TB this skips shuffling
+    lineitem rows whose order can't match. Size thresholds are lowered
+    here because test data is tiny; the assertion is that the session
+    config actually produces might_contain pruning when they're met."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        opt = _optimized(j)
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 # Queries that intentionally cross-join (tiny broadcast side × corpus).
 _NESTED_LOOP_OK = {
     "knn_brute_force",
