@@ -114,3 +114,68 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "events_gap_fill_resample",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+        FROM hourly GROUP BY 1
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_start
+        FROM spans
+    )
+    SELECT g.event_type, g.bucket_start,
+           COALESCE(h.n_events, 0) AS n_events,
+           LAST_VALUE(h.total_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.bucket_start = h.bucket_start
+    """,
+)
+def events_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with gap filling: hourly buckets per
+    event type, missing hours materialized (count 0) via a
+    sequence+explode time grid, and the value column forward-filled
+    with last-observation-carried-forward (``F.last`` ignorenulls over
+    an unbounded-preceding frame). The standard densify step before
+    charting/feature-extraction over irregular event streams.
+
+    Scale note: the LOCF window partitions by event_type, so one series'
+    whole history sorts in one task; for multi-year spans at 100 TB,
+    pre-fill per (event_type, month) segments then stitch boundaries —
+    the grid/join/coalesce stages are already fully parallel."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select("event_type", F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket_start"),
+    )
+    locf = Window.partitionBy("event_type").orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.join(hourly, ["event_type", "bucket_start"], "left").select(
+        "event_type",
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("total_value", ignorenulls=True).over(locf).alias("filled_value"),
+    )
