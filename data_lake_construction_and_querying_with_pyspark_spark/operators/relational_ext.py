@@ -453,3 +453,38 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "map_functions_pack",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           MAX(CASE WHEN event_type = 'click' THEN n END) AS click_count,
+           string_agg(event_type, ',' ORDER BY event_type) AS keys_csv,
+           CAST(SUM(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_types
+    FROM counts GROUP BY user_id
+    """,
+)
+def map_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar-function pack (SURVEY.md §2.7's map-function gap):
+    per-user event-type counters built as a real MapType column
+    (map_from_entries over collected structs), then interrogated with
+    map_keys / element_at / map_filter — all JVM-side higher-order
+    functions. The oracle computes the same answers relationally, so
+    the map construction itself is what's under test."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("bigint").alias("n_types"),
+        F.element_at("m", F.lit("click")).alias("click_count"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+        F.size(F.map_filter("m", lambda k, v: v > 2)).cast("bigint").alias("n_hot_types"),
+    )
