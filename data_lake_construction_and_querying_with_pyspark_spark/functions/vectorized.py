@@ -78,3 +78,28 @@ def centroids_by_label(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("label", "embedding").groupBy("label").applyInPandas(
         centroid, schema=schema
     )
+
+
+def make_chunk_udtf():
+    """Python UDTF (Spark 4 table function) twin of
+    ``operators/text.py::text_chunk_windows``: one input row (doc_id,
+    text) → N chunk rows, window 50 / stride 40. The UDTF is the
+    escape hatch for row-expanding Python logic a tokenizer library
+    would need (real BPE, sentence splitting); the JVM sequence+slice
+    version is the scale path, and tests pin them row-identical.
+
+    Returned lazily (class definition, not instance) so importing this
+    module never requires an active session.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, start_idx int, chunk_text string, n_chunk_tokens int")
+    class ChunkUDTF:
+        def eval(self, doc_id, text):
+            toks = [t for t in (text or "").split(" ") if t]
+            n = len(toks)
+            for s in range(0, n, 40):
+                w = toks[s : s + 50]
+                yield doc_id, s + 1, " ".join(w), len(w)
+
+    return ChunkUDTF

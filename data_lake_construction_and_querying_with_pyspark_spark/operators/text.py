@@ -248,3 +248,53 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     deduped = kept.groupBy(fp.alias("fingerprint")).agg(F.min("doc_id").alias("doc_id"))
     return deduped.join(kept, "doc_id").select("doc_id", "fingerprint", "lang", "n_chars")
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(s AS INT) AS start_idx,
+           array_to_string(list_slice(t, s, least(s + 49, n)), ' ') AS chunk_text,
+           CAST(least(s + 49, n) - s + 1 AS INT) AS n_chunk_tokens
+    FROM sized, unnest(generate_series(1, n, 40)) AS u(s)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 50, stride 40 → 10
+    tokens of overlap): the standard pre-embedding segmentation step of
+    an LLM data pipeline. Entirely JVM-side — split/filter for tokens,
+    ``sequence`` for chunk starts, ``explode`` + ``slice`` for the
+    windows — so chunking 100 TB of text is one narrow generate stage,
+    no Python in the loop and no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    sized = (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    chunk = F.slice(
+        F.col("t"),
+        F.col("start_idx"),
+        F.least(F.col("start_idx") + 49, F.col("n")) - F.col("start_idx") + 1,
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(40))).alias("start_idx"),
+        )
+        .select(
+            "doc_id",
+            "start_idx",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )

@@ -84,3 +84,23 @@ def test_centroids_by_label(spark):
     # every label present, centroid dim matches
     assert len(cents) == e.select("label").distinct().count()
     assert all(len(c) == 64 for c, _ in cents.values())
+
+
+def test_chunk_udtf_matches_jvm_chunker(spark):
+    """The Python UDTF chunker and the JVM sequence+slice chunker must
+    emit identical rows (SQL lateral-join usage)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.functions.vectorized import (
+        make_chunk_udtf,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.text import (
+        text_chunk_windows,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    spark.udtf.register("chunk_udtf", make_chunk_udtf())
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView("documents")
+    via_udtf = spark.sql(
+        "SELECT c.* FROM documents d, LATERAL chunk_udtf(d.doc_id, d.text) c"
+    )
+    jvm = text_chunk_windows(spark, SF_SMOKE)
+    assert sorted(map(tuple, via_udtf.collect())) == sorted(map(tuple, jvm.collect()))
