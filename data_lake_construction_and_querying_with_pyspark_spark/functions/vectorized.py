@@ -103,3 +103,15 @@ def make_chunk_udtf():
                 yield doc_id, s + 1, " ".join(w), len(w)
 
     return ChunkUDTF
+
+
+@pandas_udf(T.DoubleType())
+def weighted_mean_pandas(value: pd.Series, weight: pd.Series) -> float:  # type: ignore[misc]
+    """Grouped-aggregate pandas UDAF (Series → scalar): quantity-
+    weighted mean. The custom-UDAF escape hatch — Arrow ships each
+    group's columns as one batch, numpy reduces it. JVM twin:
+    sum(value*weight)/sum(weight); tests assert agreement to 1e-9
+    (float summation order differs, so bit-equality isn't the
+    contract here, unlike the oracle-checked decimal paths)."""
+    w = weight.astype("float64")
+    return float((value.astype("float64") * w).sum() / w.sum())

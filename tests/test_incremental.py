@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 
 def test_incremental_dedup_across_batches(spark, tmp_path):
     from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
@@ -71,3 +73,35 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v1", "v2", "batch"}
     rows = {r.id: (r.v1, r.v2) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_neardup_incremental_equals_batch_minhash(spark, tmp_path):
+    """Splitting the corpus into two appended batches and unioning the
+    incremental near-dup results must reproduce the batch MinHash
+    operator's pairs exactly (same hashes, same banding, same exact
+    verification)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        dedup_minhash_near_dup,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_neardup_index,
+        neardup_incremental,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "neardup_idx")
+    init_neardup_index(spark, idx)
+    p1 = neardup_incremental(spark, half1, idx)
+    p2 = neardup_incremental(spark, half2, idx)
+    incremental = {(r.doc_a, r.doc_b, r.jaccard) for r in p1.collect()} | {
+        (r.doc_a, r.doc_b, r.jaccard) for r in p2.collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_near_dup(spark, SF_SMOKE).collect()
+    }
+    assert incremental == batch and len(batch) > 0

@@ -104,3 +104,31 @@ def test_chunk_udtf_matches_jvm_chunker(spark):
     )
     jvm = text_chunk_windows(spark, SF_SMOKE)
     assert sorted(map(tuple, via_udtf.collect())) == sorted(map(tuple, jvm.collect()))
+
+
+def test_weighted_mean_udaf_matches_jvm(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.functions.vectorized import (
+        weighted_mean_pandas,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    via_udaf = {
+        r.l_returnflag: r.wavg
+        for r in li.groupBy("l_returnflag")
+        .agg(weighted_mean_pandas("l_discount", "l_quantity").alias("wavg"))
+        .collect()
+    }
+    jvm = {
+        r.l_returnflag: r.wavg
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_discount") * F.col("l_quantity")) / F.sum("l_quantity")
+            ).alias("wavg")
+        )
+        .collect()
+    }
+    assert via_udaf.keys() == jvm.keys()
+    for k in jvm:
+        assert abs(via_udaf[k] - jvm[k]) < 1e-9, (k, via_udaf[k], jvm[k])
