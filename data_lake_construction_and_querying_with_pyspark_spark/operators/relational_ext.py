@@ -488,3 +488,29 @@ def map_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
         F.size(F.map_filter("m", lambda k, v: v > 2)).cast("bigint").alias("n_hot_types"),
     )
+
+
+_Q2_SQL = """
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+        FROM lineitem
+    )
+    SELECT u.l_partkey AS partkey, s.s_name AS supplier_name, u.unit_price
+    FROM unit u JOIN supplier s ON u.l_suppkey = s.s_suppkey
+    WHERE u.unit_price = (SELECT MIN(u2.unit_price) FROM unit u2
+                          WHERE u2.l_partkey = u.l_partkey)
+"""
+
+
+@register("cheapest_supplier_per_part", oracle=_Q2_SQL)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2/Q17 shape: correlated scalar subquery (per-part minimum
+    unit price) over a join, run as literal SQL so Catalyst's subquery
+    decorrelation does the rewrite — the correlated MIN becomes an
+    aggregate + self-join under the hood, which is exactly the plan
+    you'd hand-write at scale (no per-row re-aggregation). Ties (two
+    suppliers at the same min price) are kept by both engines; the
+    unit-price double division is IEEE-identical on both sides."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q2_SQL)

@@ -85,3 +85,28 @@ def validate(df: DataFrame) -> ValidationReport:
         null_counts=null_counts,
         columns=list(df.columns),
     )
+
+
+def attach_observed_metrics(df: DataFrame, name: str = "validation"):
+    """Piggyback validation metrics on the NEXT action over ``df`` via
+    ``df.observe`` — zero extra jobs, zero extra scans. The returned
+    ``Observation`` yields metrics after any action (typically the lake
+    write) executes: exact row count, exact per-column null counts
+    (``nulls__<col>`` keys), and an HLL approximate distinct-row count.
+
+    This is the 100 TB validation path: where ``validate()`` runs its
+    own aggregation pass (still one scan), this rides the write's scan
+    for free. Exact duplicate counting is the one metric that cannot
+    ride along (it needs a shuffle of its own); the sketch stands in,
+    and ``duplicate_stats_df`` remains the exact tool.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_rows"),
+        F.approx_count_distinct(F.struct(*df.columns)).alias("approx_distinct_rows"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}") for c in df.columns],
+    )
+    return observed, obs

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_lake_construction_and_querying_with_pyspark_spark import JobConfig, run_job
+from tests.conftest import SF_SMOKE
 
 FLAGSHIP = (
     "SELECT * FROM data_lake_query WHERE `Date of birth` "
@@ -120,3 +121,29 @@ def test_partitioned_output(spark, people_dir, tmp_path):
     res = run_job(spark, cfg)
     parts = [p for p in os.listdir(res.output_path) if p.startswith("Sex=")]
     assert sorted(parts) == ["Sex=Female", "Sex=Male"]
+
+
+def test_observed_metrics_ride_the_write_action(spark, tmp_path):
+    """attach_observed_metrics must deliver exact rows/null counts
+    (matching the standalone validate() pass) as a side effect of the
+    sink write — no separate validation job."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.validation import (
+        attach_observed_metrics,
+        validate,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    ev = ev.withColumn(
+        "event_type", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("event_type"))
+    )
+    observed, obs = attach_observed_metrics(ev)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    report = validate(ev)
+    got = obs.get
+    assert got["total_rows"] == report.total_rows
+    for c in ev.columns:
+        assert got[f"nulls__{c}"] == report.null_counts[c], c
+    # sketch sanity: within 5% of the exact distinct count
+    assert abs(got["approx_distinct_rows"] - report.distinct_rows) <= 0.05 * report.distinct_rows
