@@ -121,3 +121,25 @@ def run_to_completion(stream_df: DataFrame, query_name: str = "stream_test") -> 
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, id_cols: tuple[str, ...] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes it, so state size tracks the watermark
+    horizon — not the whole stream's key cardinality, which is what
+    plain streaming ``dropDuplicates`` would hold forever (fatal for a
+    continuously-ingesting lake). The streaming face of the dedup
+    ladder's first rung (``operators/dedup.py``)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (batch)
+    dimension — stateless on the stream side, broadcast per batch.
+    The standard streaming enrichment pattern (events × user dim)."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, how)

@@ -98,3 +98,49 @@ def test_session_stream_matches_batch_closed_sessions(spark, events_us_dir, max_
     )
     assert streamed_closed.count() > 0
     assert streamed_closed.exceptAll(batch).count() == 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_us_dir, tmp_path):
+    """A stream fed duplicated events must emit each event exactly once
+    (duplicates arrive inside the watermark window and are dropped with
+    bounded state)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        dedup_stream_within_watermark,
+        stream_events,
+    )
+
+    dup_dir = str(tmp_path / "dup_events")
+    base = spark.read.parquet(events_us_dir).limit(1000)
+    base.unionAll(base).write.mode("overwrite").parquet(dup_dir)
+
+    deduped = _drain(
+        dedup_stream_within_watermark(stream_events(spark, dup_dir)), "dedup_stream"
+    )
+    assert deduped.count() == 1000
+    assert deduped.select("event_id").distinct().count() == 1000
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, events_us_dir):
+    """Stream-static join result must equal the batch join row-for-row
+    (stateless enrichment; the static side broadcasts per micro-batch)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        enrich_stream_static,
+        stream_events,
+    )
+
+    dim = spark.createDataFrame(
+        [(t,) for t in ["click", "view", "purchase"]], "event_type string"
+    ).withColumn("boost", F.length("event_type"))
+    streamed = _drain(
+        enrich_stream_static(
+            stream_events(spark, events_us_dir, max_files_per_trigger=1), dim, "event_type"
+        ).select("event_id", "event_type", "boost"),
+        "enriched_stream",
+    )
+    batch = (
+        spark.read.parquet(events_us_dir)
+        .join(dim, "event_type")
+        .select("event_id", "event_type", "boost")
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
