@@ -114,4 +114,7 @@ def weighted_mean_pandas(value: pd.Series, weight: pd.Series) -> float:  # type:
     (float summation order differs, so bit-equality isn't the
     contract here, unlike the oracle-checked decimal paths)."""
     w = weight.astype("float64")
-    return float((value.astype("float64") * w).sum() / w.sum())
+    total = w.sum()
+    if total == 0.0:  # all-zero/all-null weights: JVM twin yields NULL, not NaN
+        return None
+    return float((value.astype("float64") * w).sum() / total)

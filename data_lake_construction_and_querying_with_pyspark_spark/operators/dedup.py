@@ -257,12 +257,34 @@ def dedup_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the band self-join below references sig on both sides,
     # and an unpersisted plan would recompute the 16-way md5 aggregate
     # once per side (measured 4s → 0.3s for the candidate step).
-    sig = inv.groupBy("doc_id").agg(
+    sig = minhash_signatures(inv).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = band_rows(sig)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verify_jaccard_pairs(cand, inv)
+
+
+def minhash_signatures(inv: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): the 16 MinHash minima as partial aggregates
+    over the (doc_id, shingle) inverted index. Shared by the batch
+    operator and the incremental band index — single-sourced so the
+    incremental≡batch equality can never drift."""
+    return inv.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
             for i in range(_N_HASHES)
         ]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): one row per (doc, band), band_key =
+    '|'-joined signature rows of that band."""
     band_structs = F.array(
         *[
             F.struct(
@@ -274,16 +296,15 @@ def dedup_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_HASHES // _BAND_ROWS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+
+def verify_jaccard_pairs(cand: DataFrame, inv: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 verification of candidate (doc_a, doc_b)
+    pairs against the (doc_id, s) inverted index — integer-arithmetic
+    threshold (5·inter ≥ 4·union) per the determinism contract."""
     inter = (
         cand.join(inv.toDF("doc_a", "s"), "doc_a")
         .join(inv.toDF("doc_b", "s"), ["doc_b", "s"])
@@ -470,6 +491,9 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            # labels is localCheckpoint-materialized, so the edge list
+            # can be released (the driver path unpersists symmetrically).
+            sym.unpersist()
             return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
         prev_sum = cur_sum
 

@@ -95,53 +95,49 @@ def neardup_incremental(spark: SparkSession, batch: DataFrame, index_dir: str) -
     100 TB the inventory stores 8-byte shingle hashes instead of
     strings and both index tables live bucketed by their join key so
     every probe is shuffle-free; semantics are unchanged.
+
+    Replay-safe: docs already present in the band index are anti-joined
+    out before any processing (re-ingesting a batch is a no-op, like
+    ``dedup_incremental``), and verification reads the inventory through
+    ``distinct()`` so a crash between the two appends cannot skew
+    Jaccard counts on retry.
+
+    The MinHash construction (signatures, banding, verification) is
+    shared with the batch operator — ``dedup.minhash_signatures`` /
+    ``band_rows`` / ``verify_jaccard_pairs`` — so incremental≡batch
+    equality is single-sourced, not copy-paste parity.
     """
     from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
-        _BAND_ROWS,
-        _N_HASHES,
         _shingles,
         _toks,
+        band_rows,
+        minhash_signatures,
+        verify_jaccard_pairs,
     )
+
+    bands_old = spark.read.parquet(f"{index_dir}/bands.parquet")
+    inv_old = spark.read.parquet(f"{index_dir}/shingles.parquet")
+    known_docs = bands_old.select("doc_id").distinct()
 
     par = spark.sparkContext.defaultParallelism
     inv_new = (
-        batch.repartition(par, "doc_id")
+        batch.join(known_docs, "doc_id", "left_anti")
+        .repartition(par, "doc_id")
         .select("doc_id", _toks().alias("toks"))
         .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
         .select("doc_id", F.explode_outer("shingles").alias("s"))
         .filter(F.col("s").isNotNull())
         .localCheckpoint()
     )
-    sig = inv_new.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * _BAND_ROWS + j}") for j in range(_BAND_ROWS)]
-                ).alias("band_key"),
-            )
-            for b in range(_N_HASHES // _BAND_ROWS)
-        ]
-    )
-    bands_new = (
-        sig.select("doc_id", F.explode(band_structs).alias("bk"))
-        .select(F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"), "doc_id")
-        .localCheckpoint()
-    )
+    bands_new = band_rows(minhash_signatures(inv_new)).localCheckpoint()
 
-    bands_old = spark.read.parquet(f"{index_dir}/bands.parquet")
-    inv_old = spark.read.parquet(f"{index_dir}/shingles.parquet")
     bands_all = bands_old.unionByName(bands_new)
-    inv_all = inv_old.unionByName(inv_new)
+    # distinct: tolerate inventory rows duplicated by a replay that
+    # crashed between the shingle append and the band append.
+    inv_all = inv_old.unionByName(inv_new).distinct()
 
     cand = (
-        bands_new.toDF("band", "band_key", "new_id")
+        bands_new.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("new_id"))
         .join(bands_all, ["band", "band_key"])
         .filter(F.col("new_id") != F.col("doc_id"))
         .select(
@@ -150,21 +146,9 @@ def neardup_incremental(spark: SparkSession, batch: DataFrame, index_dir: str) -
         )
         .distinct()
     )
-    inter = (
-        cand.join(inv_all.toDF("doc_a", "s"), "doc_a")
-        .join(inv_all.toDF("doc_b", "s"), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = inv_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    union = F.col("n_a") + F.col("n_b") - F.col("inter")
-    pairs = (
-        inter.join(F.broadcast(sizes.toDF("doc_a", "n_a")), "doc_a")
-        .join(F.broadcast(sizes.toDF("doc_b", "n_b")), "doc_b")
-        .filter(5 * F.col("inter") >= 4 * union)
-        .select("doc_a", "doc_b", (F.col("inter").cast("double") / union).alias("jaccard"))
-        .localCheckpoint()  # materialize before the index mutation below
-    )
-    bands_new.write.mode("append").parquet(f"{index_dir}/bands.parquet")
+    pairs = verify_jaccard_pairs(cand, inv_all).localCheckpoint()  # before index mutation
     inv_new.write.mode("append").parquet(f"{index_dir}/shingles.parquet")
+    bands_new.select("band", "band_key", "doc_id").write.mode("append").parquet(
+        f"{index_dir}/bands.parquet"
+    )
     return pairs

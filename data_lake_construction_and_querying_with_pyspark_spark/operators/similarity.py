@@ -262,7 +262,11 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "features", array_to_vector("v")
     )
     model = KMeans(k=k, seed=7, featuresCol="features", predictionCol="cell_id").fit(e)
-    assigned = model.transform(e).select("vec_id", "v", "norm", "cell_id").cache()
+    # Not cached: assigned feeds two consumers (query filter + probe
+    # join), but a .cache() here would pin the corpus in executor
+    # storage for the session lifetime — recomputing one narrow
+    # projection+predict pass is cheaper than the leak.
+    assigned = model.transform(e).select("vec_id", "v", "norm", "cell_id")
 
     centers = model.clusterCenters()
     centroids = spark.createDataFrame(

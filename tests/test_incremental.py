@@ -105,3 +105,27 @@ def test_neardup_incremental_equals_batch_minhash(spark, tmp_path):
         for r in dedup_minhash_near_dup(spark, SF_SMOKE).collect()
     }
     assert incremental == batch and len(batch) > 0
+
+
+def test_neardup_incremental_replay_is_noop(spark, tmp_path):
+    """Re-ingesting an already-indexed batch must produce no pairs and
+    leave the index byte-identical (the anti-join replay guard)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_neardup_index,
+        neardup_incremental,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    idx = str(tmp_path / "replay_idx")
+    init_neardup_index(spark, idx)
+    first = neardup_incremental(spark, docs, idx)
+    n_pairs = first.count()
+    n_bands = spark.read.parquet(f"{idx}/bands.parquet").count()
+    n_shingles = spark.read.parquet(f"{idx}/shingles.parquet").count()
+
+    replay = neardup_incremental(spark, docs, idx)
+    assert replay.count() == 0
+    assert spark.read.parquet(f"{idx}/bands.parquet").count() == n_bands
+    assert spark.read.parquet(f"{idx}/shingles.parquet").count() == n_shingles
+    assert n_pairs >= 0 and n_bands > 0

@@ -79,12 +79,17 @@ def test_whole_stage_codegen_covers_scalar_packs(spark, queries):
 
 
 def test_q8_q9_filters_reach_scans(spark, queries):
+    """Pins what the operators guarantee at ANY scale: selective
+    filters reach the scans, and the explicitly-hinted dimension sides
+    broadcast. (No 'no SortMergeJoin' pin: the unhinted fact-fact and
+    customer joins legitimately become shuffle joins beyond smoke
+    scale — that strategy choice belongs to Catalyst/AQE.)"""
     q8 = _plan(queries["market_share_q8"](spark, SF_SMOKE))
     assert "EqualTo(p_type,ECONOMY)" in q8  # part filter pushed
     assert "GreaterThanOrEqual(o_orderdate" in q8  # date range pushed
     q9 = _plan(queries["product_profit_q9"](spark, SF_SMOKE))
     assert "StringContains(p_name,widget)" in q9  # LIKE pushed
-    assert "SortMergeJoin" not in q8 and "SortMergeJoin" not in q9
+    assert "BroadcastHashJoin" in q8 and "BroadcastHashJoin" in q9
 
 
 def test_knn_query_side_broadcasts(spark, queries):

@@ -110,7 +110,12 @@ def test_streaming_dedup_within_watermark(spark, events_us_dir, tmp_path):
     )
 
     dup_dir = str(tmp_path / "dup_events")
-    base = spark.read.parquet(events_us_dir).limit(1000)
+    base_dir = str(tmp_path / "base_events")
+    # Materialize the sample once: limit() without an ordering is
+    # non-deterministic per execution, so unioning the same lazy plan
+    # twice could duplicate DIFFERENT row sets.
+    spark.read.parquet(events_us_dir).limit(1000).write.parquet(base_dir)
+    base = spark.read.parquet(base_dir)
     base.unionAll(base).write.mode("overwrite").parquet(dup_dir)
 
     deduped = _drain(

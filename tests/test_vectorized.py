@@ -132,3 +132,16 @@ def test_weighted_mean_udaf_matches_jvm(spark):
     assert via_udaf.keys() == jvm.keys()
     for k in jvm:
         assert abs(via_udaf[k] - jvm[k]) < 1e-9, (k, via_udaf[k], jvm[k])
+
+
+def test_weighted_mean_udaf_null_on_zero_weight(spark):
+    """All-zero weights must yield NULL (matching the JVM twin), not
+    NaN/inf."""
+    from data_lake_construction_and_querying_with_pyspark_spark.functions.vectorized import (
+        weighted_mean_pandas,
+    )
+
+    df = spark.createDataFrame([("a", 1.0, 0.0), ("a", 2.0, 0.0), ("b", 3.0, 2.0)], "g string, v double, w double")
+    got = {r.g: r.wavg for r in df.groupBy("g").agg(weighted_mean_pandas("v", "w").alias("wavg")).collect()}
+    assert got["a"] is None
+    assert abs(got["b"] - 3.0) < 1e-12
