@@ -514,3 +514,39 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_Q2_SQL)
+
+
+@register(
+    "window_trailing_30day_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_trailing_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per-customer
+    spend over a trailing 30-day window keyed on epoch-day — same-day
+    orders are frame peers and always aggregate together, which a ROWS
+    frame cannot express. Exact-decimal sum per the determinism
+    contract; one shuffle on the partition key, like every window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy("epoch_day").rangeBetween(-29, 0)
+    return (
+        o.withColumn("epoch_day", epoch_day)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_30d_spend"),
+        )
+    )
