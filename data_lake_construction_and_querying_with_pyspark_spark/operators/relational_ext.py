@@ -516,6 +516,37 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q2_SQL)
 
 
+_Q11_SQL = """
+    WITH part_rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(rev AS DOUBLE) AS revenue
+    FROM part_rev
+    WHERE CAST(rev AS DOUBLE) >
+          (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) FROM part_rev)
+          * CAST(1.5 AS DOUBLE)
+"""
+
+
+@register("important_parts_q11", oracle=_Q11_SQL)
+def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped aggregate filtered against a global
+    scalar subquery over the *same* aggregate (parts whose revenue
+    exceeds 1.5x the mean per-part revenue — a scale-invariant
+    threshold, unlike Q11's fixed fraction, so the query returns a
+    meaningful subset at every SF). Catalyst runs the scalar subquery as a separate
+    one-row job, then the HAVING is a cheap post-aggregate filter — no
+    per-row re-aggregation. The CTE is referenced twice, so Spark scans
+    lineitem twice; at 100 TB you'd checkpoint/cache part_rev (it is
+    |parts|-sized, tiny relative to lineitem) — here the double scan is
+    the honest default plan and the oracle shares the exact-decimal
+    revenue sums, single-cast-to-double threshold contract."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q11_SQL)
+
+
 @register(
     "window_trailing_30day_spend",
     oracle="""
