@@ -171,3 +171,19 @@ def test_no_accidental_cartesian_plans(spark, queries):
                 if "CartesianProduct" in line or "BroadcastNestedLoopJoin" in line
             ][:2]
     assert not offenders, offenders
+
+
+def test_q11_scalar_subquery_is_one_row_job(spark, queries):
+    """The Q11-shaped HAVING threshold must plan as a single scalar
+    Subquery (one one-row job) feeding a post-aggregate Filter — never
+    a join against the aggregate, and never per-row re-aggregation.
+    Both lineitem scans must stay pruned to the 3 needed columns and
+    aggregate partially before their shuffle."""
+    import re
+
+    plan = _plan(queries["important_parts_q11"](spark, SF_SMOKE))
+    assert len(set(re.findall(r"Subquery (subquery#\d+)", plan))) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    for read_schema in plan.split("ReadSchema")[1:]:
+        assert "l_shipdate" not in read_schema[:300]  # pruned scan
