@@ -697,14 +697,14 @@ def date_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            sqrt(l_quantity)                          AS qty_sqrt,
-           floor(l_extendedprice)                    AS price_floor,
-           ceil(l_extendedprice)                     AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)    AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)     AS price_ceil,
            l_extendedprice * l_extendedprice         AS price_sq,
            CAST(l_partkey % 10 AS BIGINT)            AS partkey_mod,
            abs(l_discount - 0.05)                    AS disc_dev,
            greatest(l_tax, l_discount)               AS max_rate,
            least(l_tax, l_discount)                  AS min_rate,
-           sign(l_discount - 0.05)                   AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE)   AS disc_sign
     FROM lineitem
     """,
 )
@@ -759,7 +759,7 @@ def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type

@@ -114,12 +114,20 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
 
     Spark's parquet reader rejects nanosecond timestamps outright
     (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong``
-    (session default) the column lands as epoch-nanos long, which we
-    convert to a proper timestamp. The driver's generator emits exact
-    microsecond multiples, so the ns→µs division is lossless.
+    the column lands as epoch-nanos long, which we convert to a proper
+    timestamp. The conf is runtime-settable, so we set it here rather
+    than relying on a session-builder default — the reader must be
+    self-sufficient under ANY caller-provided SparkSession, not just
+    ones built by :func:`..session.get_spark`. The driver's generator
+    emits exact microsecond multiples, so the ns→µs division is
+    lossless.
     """
     from pyspark.sql import functions as F
 
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # unknown conf on some future Spark: fall through to plain read
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         # Integer division: `/` on longs goes through double, and epoch

@@ -42,6 +42,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # The external driver hashes typed values: an int64 68423 and a
+        # float64 68423.0 hash differently even though they're "equal".
+        # Flag int-vs-float dtype divergence instead of coercing it away
+        # (r01 lesson: DuckDB floor/ceil→DOUBLE, SUM(CASE)→HUGEINT→float
+        # vs Spark BIGINT passed locally but failed the driver's hash).
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        s_float = pd.api.types.is_float_dtype(sv)
+        o_float = pd.api.types.is_float_dtype(ov)
+        if (s_int and o_float) or (s_float and o_int):
+            problems.append(
+                f"col {c}: dtype mismatch spark={sv.dtype} oracle={ov.dtype}"
+                " (typed value-hash would diverge)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sv_f = pd.to_numeric(sv, errors="coerce").astype(float)
             ov_f = pd.to_numeric(ov, errors="coerce").astype(float)
