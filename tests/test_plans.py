@@ -147,7 +147,6 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
 _NESTED_LOOP_OK = {
     "knn_brute_force",
     "knn_lsh_bucketed",  # broadcast query side
-    "dedup_embedding_cosine_pairs",  # documented O(n²) baseline
     "funnel_conversion",  # 1-row × 1-row count cross joins
     "knn_ivf_probe",  # query × 16-centroid broadcast distance table
 }
