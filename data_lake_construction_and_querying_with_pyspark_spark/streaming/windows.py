@@ -97,25 +97,25 @@ def streaming_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
     staging = tempfile.mkdtemp(prefix="stream_events_")
     load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
-    q = (
-        hourly_rollup_stream(stream_events(spark, staging))
-        .writeStream.format("memory")
-        .queryName("streaming_hourly_rollup_result")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return run_to_completion(
+        hourly_rollup_stream(stream_events(spark, staging)),
+        query_name="streaming_hourly_rollup_result",
     )
-    q.awaitTermination()
-    return spark.table("streaming_hourly_rollup_result")
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str = "stream_test") -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, query_name: str = "stream_test", output_mode: str = "append"
+) -> DataFrame:
     """Drain a finite file stream (availableNow) into an in-memory table
-    and return it as a DataFrame — the test/verification harness path."""
+    and return it as a DataFrame — the one shared test/verification
+    drain. ``output_mode`` defaults to append (valid for every query
+    shape, emits exactly the watermark-closed results); pass
+    ``"complete"`` explicitly for an aggregation where the full result
+    table is wanted each trigger."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -23,9 +23,9 @@ def _rows(df):
 
 
 def test_pruned_equals_unpruned_when_cap_above_max_df(spark):
-    """At max_df=1000 (fixture max shingle df ≈ 9) the pruned candidate
-    path must reproduce the unpruned single-pass result exactly —
-    values included, since verification counts against the full index."""
+    """At max_df=1000 (fixture max shingle df ≈ 9) no shingle is
+    pruned, so Jaccard over the pruned universe must equal plain
+    Jaccard exactly — values included."""
     unpruned = _rows(ngram_jaccard_pairs(spark, SF_SMOKE, max_df=None))
     pruned = _rows(ngram_jaccard_pairs(spark, SF_SMOKE, max_df=_NGRAM_MAX_DF))
     assert unpruned == pruned

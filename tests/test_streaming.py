@@ -29,15 +29,11 @@ def max_ts(spark, events_us_dir):
 
 
 def _drain(stream_df, name):
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        run_to_completion,
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+
+    return run_to_completion(stream_df, query_name=name)
 
 
 def test_hourly_rollup_stream_matches_batch(spark, events_us_dir, max_ts):
