@@ -1,0 +1,186 @@
+"""Corpus-preparation operators a training-data pipeline runs before
+mixing: repetition/boilerplate signals, benchmark decontamination, and
+a deterministic source-mixture draw.
+
+These extend the reference's single cleaning step (SURVEY.md §2.4) the
+same way ``operators/dedup.py`` extends its ``dropDuplicates`` — with
+the corpus-hygiene passes every large-scale LLM data pipeline applies
+(repetition filters à la Gopher, test-set decontamination, source
+mixing). All three are pure DataFrame plans with exact DuckDB oracles.
+
+Scale notes: repetition signals are a zero-shuffle projection (per-doc
+higher-order array expressions — map-side only, embarrassingly
+parallel at 100 TB). Decontamination is the production shape: the
+benchmark shingle set is tiny relative to the corpus, so it broadcasts
+and the corpus-side inverted index never shuffles for the probe; only
+the per-doc count aggregates. The mixture draw ranks by md5(doc_id)
+within source — a reproducible "random" sample that never calls an RNG,
+so retries/AQE cannot change the drawn set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+    _ORACLE_SHINGLES,
+    _explode_shingles,
+    _toks,
+    shingle_docs,
+)
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+
+@register(
+    "doc_repetition_signals",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks,
+               [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_toks,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           END AS dup_tok_frac,
+           CAST(len(grams) AS INT) AS n_2grams,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           END AS dup_2gram_frac
+    FROM g
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and duplicate-2-gram fraction (high values flag the
+    boilerplate/spam documents a quality gate drops).
+
+    Zero shuffles: token and 2-gram arrays and their distinct counts
+    are higher-order array expressions inside one projection — the
+    whole operator is map-side at any corpus size. The ratio is one
+    int/int division in each engine (correctly rounded, so the oracle
+    compares exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    two = F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+    grams = F.when(n >= 2, F.transform(two, lambda s: F.concat_ws(" ", s["0"], s["1"]))).otherwise(
+        F.array().cast("array<string>")
+    )
+    out = docs.select("doc_id", toks.alias("toks"), grams.alias("grams"))
+    n_toks = F.size("toks")
+    n_dist = F.size(F.array_distinct("toks"))
+    n_g = F.size("grams")
+    n_gdist = F.size(F.array_distinct("grams"))
+    frac = lambda total, dist: F.when(total == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        (total - dist).cast("double") / total
+    )
+    return out.select(
+        "doc_id",
+        n_toks.cast("int").alias("n_toks"),
+        n_dist.cast("int").alias("n_distinct_toks"),
+        frac(n_toks, n_dist).alias("dup_tok_frac"),
+        n_g.cast("int").alias("n_2grams"),
+        frac(n_g, n_gdist).alias("dup_2gram_frac"),
+    )
+
+
+# Every 50th doc stands in for a held-out evaluation benchmark; real
+# pipelines load the benchmark shingle set from the eval suites.
+_BENCH_MOD = 50
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM inv WHERE doc_id % {_BENCH_MOD} = 0)
+    SELECT i.doc_id, COUNT(*) AS n_shared_shingles
+    FROM inv i JOIN bench USING (s)
+    WHERE i.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY i.doc_id
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-3-gram with the held-out benchmark subset (docs with
+    ``doc_id % 50 == 0``), reporting how many shingle TYPES they share
+    (per-doc shingles are distinct, so the probe-join count is the
+    type count).
+
+    The production shape at 100 TB: the benchmark shingle set is tiny
+    (eval suites, not the corpus), so it BROADCASTS; the corpus-side
+    inverted index streams through the broadcast-hash probe with no
+    shuffle, and only the (doc_id → count) aggregate exchanges —
+    contaminated docs only."""
+    inv = _explode_shingles(shingle_docs(spark, sf_dir))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = F.broadcast(inv.filter(is_bench).select("s").distinct())
+    return (
+        inv.filter(~is_bench)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+# Target mixture: absolute per-source quotas for the drawn sample.
+# Production pipelines derive these from token budgets per source;
+# fixed literals keep the draw (and its oracle) fully deterministic.
+_MIX_QUOTAS = {f"src{i}": 28 - 2 * i for i in range(10)}  # src0:28 … src9:10
+
+
+def _quota_case_sql() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {q}" for s, q in _MIX_QUOTAS.items())
+    return f"CASE source {whens} ELSE 0 END"
+
+
+@register(
+    "source_mix_draw",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS mix_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(mix_rank AS INT) AS mix_rank
+    FROM ranked
+    WHERE mix_rank <= {_quota_case_sql()}
+    """,
+)
+def source_mix_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture draw: each source contributes at
+    most its quota of documents, chosen by ranking on
+    ``md5('mix:' || doc_id)`` — a reproducible pseudo-random order that
+    both engines compute identically, with doc_id as the (unreachable
+    for md5, but contractual) tiebreak. No RNG anywhere, so task
+    retries, AQE re-plans, and re-runs all draw the same sample — the
+    property that makes a 100 TB training mix auditable. One window
+    shuffle on source; quotas apply as a post-rank filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(q)) for s, q in _MIX_QUOTAS.items()],
+        F.lit(0),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= quota)
+        .select("doc_id", "source", F.col("mix_rank").cast("int").alias("mix_rank"))
+    )
