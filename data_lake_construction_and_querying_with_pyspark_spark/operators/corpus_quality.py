@@ -145,6 +145,91 @@ def _quota_case_sql() -> str:
     return f"CASE source {whens} ELSE 0 END"
 
 
+_SEQ_LEN = 512  # token budget per packed training sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, n_toks,
+               COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prefix
+        FROM sized
+        WHERE n_toks > 0
+    ),
+    spans AS (
+        SELECT doc_id, source, n_toks, prefix,
+               CAST(prefix // {_SEQ_LEN} AS BIGINT) AS seq_first,
+               CAST((prefix + n_toks - 1) // {_SEQ_LEN} AS BIGINT) AS seq_last
+        FROM pos
+    )
+    SELECT source, CAST(u.seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(0, u.seq_id * {_SEQ_LEN} - prefix) AS INT) AS tok_start,
+           CAST(LEAST(n_toks, (u.seq_id + 1) * {_SEQ_LEN} - prefix)
+                - GREATEST(0, u.seq_id * {_SEQ_LEN} - prefix) AS INT) AS tok_len
+    FROM spans, unnest(generate_series(seq_first, seq_last)) AS u(seq_id)
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-budget training sequences (concatenate
+    -and-chunk, 512 tokens per sequence): within each source shard,
+    documents concatenate in doc_id order and are cut at sequence
+    boundaries; the output maps every document to the (seq_id,
+    tok_start, tok_len) spans it occupies — a doc straddling a boundary
+    emits one row per sequence it touches.
+
+    Pure integer window arithmetic: an exclusive prefix-sum of token
+    counts per source (one window shuffle), integer-division sequence
+    ids, and a sequence() explode for multi-span docs — exact in both
+    engines, no RNG, no floats. Packing per SOURCE shard rather than
+    globally is the scale choice: shards pack in parallel (the window
+    sorts one shard per task group), where a single global order would
+    serialize 100 TB through one sort. The reproducibility story
+    matches source_mix_draw: re-running yields byte-identical packing,
+    so a training run can be resumed against re-derived data."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(_toks()).cast("bigint")
+    sized = docs.select("doc_id", "source", n_toks.alias("n_toks")).filter(
+        F.col("n_toks") > 0
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pos = sized.withColumn("prefix", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    spans = pos.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "prefix",
+        F.expr(f"prefix div {_SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(prefix + n_toks - 1) div {_SEQ_LEN}").alias("seq_last"),
+    )
+    exploded = spans.select(
+        "source",
+        F.explode(F.sequence("seq_first", "seq_last")).alias("seq_id"),
+        "doc_id",
+        "n_toks",
+        "prefix",
+    )
+    tok_start = F.greatest(F.lit(0).cast("bigint"), F.col("seq_id") * _SEQ_LEN - F.col("prefix"))
+    tok_end = F.least(F.col("n_toks"), (F.col("seq_id") + 1) * _SEQ_LEN - F.col("prefix"))
+    return exploded.select(
+        "source",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        tok_start.cast("int").alias("tok_start"),
+        (tok_end - tok_start).cast("int").alias("tok_len"),
+    )
+
+
 @register(
     "source_mix_draw",
     oracle=f"""
