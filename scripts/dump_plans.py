@@ -95,6 +95,24 @@ COMMENTARY = {
         "the self-join's group counts ARE the intersections; no "
         "second verify join."
     ),
+    "doc_repetition_signals": (
+        "Zero Exchange nodes: duplicate-token and duplicate-2-gram "
+        "fractions are higher-order array expressions inside one "
+        "projection — the whole quality signal is map-side at any "
+        "corpus size (pinned by test_repetition_signals_zero_shuffle)."
+    ),
+    "decontamination_overlap": (
+        "The benchmark shingle set (tiny: eval suites, not corpus) "
+        "broadcasts; the corpus inverted index streams through a "
+        "BroadcastHashJoin probe with no shuffle — only the per-doc "
+        "count aggregate exchanges."
+    ),
+    "sequence_packing": (
+        "One Window node: the exclusive token prefix-sum per source "
+        "shard is the only sort/shuffle; sequence ids are integer "
+        "divisions and boundary-straddling docs explode through "
+        "Generate. Shards pack in parallel — no global sort."
+    ),
 }
 
 

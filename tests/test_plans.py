@@ -186,3 +186,29 @@ def test_q11_scalar_subquery_is_one_row_job(spark, queries):
     assert "partial_sum" in plan
     for read_schema in plan.split("ReadSchema")[1:]:
         assert "l_shipdate" not in read_schema[:300]  # pruned scan
+
+
+def test_repetition_signals_zero_shuffle(spark, queries):
+    """doc_repetition_signals claims to be a pure map-side projection —
+    its plan must contain NO shuffle Exchange (a repartition or agg
+    sneaking in would serialize 100 TB through the network for a
+    per-row computation)."""
+    plan = _plan(queries["doc_repetition_signals"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_decontamination_probe_broadcasts(spark, queries):
+    """The benchmark shingle set must broadcast into the corpus-side
+    probe (BroadcastHashJoin); a sort-merge join here would shuffle the
+    whole corpus inverted index against a tiny benchmark set."""
+    plan = _plan(queries["decontamination_overlap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_packing_single_window_pass(spark, queries):
+    """Packing is one per-source window pass (prefix sum) plus a
+    generate — exactly one Window node, and the explode must not
+    re-sort."""
+    plan = _plan(queries["sequence_packing"](spark, SF_SMOKE))
+    assert plan.count("Window") == 1, plan

@@ -100,3 +100,43 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
     via_cluster = {tuple(r) for r in connected_components(edges, driver_gate=0).collect()}
     assert via_driver == expected
     assert via_cluster == expected
+
+
+def test_sign_band_cosine_pairs_no_false_positives(spark):
+    """Every pair dedup_embedding_cosine_pairs reports must genuinely
+    exceed the cosine threshold (LSH may MISS pairs — documented
+    recall — but the exact-cosine verify means it can never invent
+    one), and the reported cosine must equal the brute-force value."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        dedup_embedding_cosine_pairs,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        dot,
+        with_norm,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    reported = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embedding_cosine_pairs(spark, SF_SMOKE).collect()
+    }
+    assert reported, "fixture should produce at least one near-dup pair"
+    e = with_norm(load_table(spark, SF_SMOKE, "embeddings"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") > 0.4)
+        .collect()
+    }
+    assert set(reported) <= set(brute)  # subset: no invented pairs
+    for pair, c in reported.items():
+        assert c == brute[pair]  # bit-identical exact verify
