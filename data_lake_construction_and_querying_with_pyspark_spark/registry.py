@@ -146,6 +146,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Import for side effect: each module registers its queries.
     from data_lake_construction_and_querying_with_pyspark_spark.operators import relational  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import relational_ext  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import tpch_more  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import dedup  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import text  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import similarity  # noqa: F401
