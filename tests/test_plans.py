@@ -212,3 +212,83 @@ def test_sequence_packing_single_window_pass(spark, queries):
     re-sort."""
     plan = _plan(queries["sequence_packing"](spark, SF_SMOKE))
     assert plan.count("Window") == 1, plan
+
+
+def test_q4_exists_plans_as_semi_join(spark, queries):
+    """Q4's correlated EXISTS must decorrelate to ONE LEFT SEMI join
+    keyed on orderkey (the shipdate inequality rides as a join
+    residual) — never a nested-loop or a per-row subquery."""
+    plan = _plan(queries["order_priority_checking_q4"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_decorrelates_to_semi_plus_anti(spark, queries):
+    """Q21's EXISTS / NOT EXISTS pair must become a LEFT SEMI and a
+    LEFT ANTI join, both equi-keyed on orderkey with the supplier /
+    shipdate inequalities as residuals."""
+    plan = _plan(queries["late_shipper_q21"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_subquery_plus_anti_join(spark, queries):
+    """Q22: the positive-balance mean runs as one scalar Subquery (a
+    single one-row job), and NOT EXISTS becomes a LEFT ANTI join —
+    customer is never re-scanned per row."""
+    import re
+
+    plan = _plan(queries["sales_opportunity_q22"](spark, SF_SMOKE))
+    assert len(set(re.findall(r"Subquery (subquery#\d+)", plan))) == 1, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q13_left_join_survives_to_physical_plan(spark, queries):
+    """Q13's priority filter lives in the JOIN CONDITION: the physical
+    join must still be LeftOuter (a dropped-to-inner join silently
+    loses the zero-order customers bin) and both aggregation levels
+    must run partial before their shuffles."""
+    plan = _plan(queries["customer_order_distribution_q13"](spark, SF_SMOKE))
+    assert "LeftOuter" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_q16_exclusion_and_dims_broadcast(spark, queries):
+    """Q16: both the negative-balance exclusion (anti) and the filtered
+    part dim must broadcast — the only shuffle the fact side pays is
+    the distinct pair projection + final group-by."""
+    plan = _plan(queries["parts_supplier_counts_q16"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("LeftAnti") == 1, plan
+
+
+def test_q10_filters_pushed_and_nation_broadcast(spark, queries):
+    """Q10: the returnflag and orderdate filters must reach their
+    parquet scans (PushedFilters), nation must broadcast, and the
+    top-20 must plan as TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(queries["returned_item_reporting_q10"](spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters")
+    assert any("l_returnflag" in seg[:200] for seg in pushed[1:]), plan
+    assert any("o_orderdate" in seg[:200] for seg in pushed[1:]), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_split_assignment_is_shuffle_free(spark, queries):
+    """train_val_test_split claims to be a pure scan-time projection:
+    its plan must contain NO Exchange — the defining property that
+    makes the split reproducible at any parallelism."""
+    plan = _plan(queries["train_val_test_split"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_deterministic_shuffle_avoids_global_sort_funnel(spark, queries):
+    """deterministic_shuffle's rank must be assembled per-bucket: the
+    corpus-side window partitions by bucket (hashpartitioning
+    exchange), and the only SinglePartition exchange allowed is the
+    256-row bucket-offset prefix sum — the full table never funnels
+    through one partition."""
+    plan = _plan(queries["deterministic_shuffle"](spark, SF_SMOKE))
+    assert "hashpartitioning(bucket" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
