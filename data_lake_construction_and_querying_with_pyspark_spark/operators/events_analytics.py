@@ -102,3 +102,45 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "events_click_purchase_pairs",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution pairs: every purchase within 1 hour of a same-user
+    click. An equi-join on user_id with the time bounds as a join
+    residual — never a cross join; both event-type filters are pushed
+    to the scans. This is the batch twin of
+    ``streaming.windows.click_purchase_join_stream`` (a watermarked
+    stream-stream interval join) — tests/test_streaming.py proves the
+    drained stream emits exactly these rows."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    )

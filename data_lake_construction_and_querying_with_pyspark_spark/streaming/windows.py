@@ -143,3 +143,41 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame, on, how: str = "inne
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), on, how)
+
+
+def click_purchase_join_stream(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    ``operators.events_analytics.events_click_purchase_pairs``: every
+    purchase within ``horizon`` of a same-user click. Both sides carry
+    watermarks and the join condition bounds purchase_ts to a finite
+    interval after click_ts, so Spark can evict click state once the
+    purchase-side watermark passes click_ts + horizon — bounded state,
+    the property that keeps a stream-stream join alive on an unbounded
+    stream. Inner-join matches emit as soon as both sides arrive (no
+    watermark holdback on emission)."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")

@@ -149,6 +149,7 @@ _NESTED_LOOP_OK = {
     "knn_lsh_bucketed",  # broadcast query side
     "funnel_conversion",  # 1-row × 1-row count cross joins
     "knn_ivf_probe",  # query × 16-centroid broadcast distance table
+    "join_key_skew_profile",  # keys × broadcast 1-row total
 }
 
 _SLOW = {"dedup_cluster_assignment", "streaming_hourly_rollup"}  # iterative / streaming

@@ -145,3 +145,26 @@ def test_stream_static_enrichment_matches_batch_join(spark, events_us_dir):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_us_dir):
+    """The watermarked stream-stream interval join, drained in one
+    availableNow micro-batch, must emit exactly the batch twin's
+    attribution pairs (inner joins emit on match — no tail windows to
+    exclude)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.events_analytics import (
+        events_click_purchase_pairs,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        click_purchase_join_stream,
+        stream_events,
+    )
+
+    streamed = _drain(
+        click_purchase_join_stream(stream_events(spark, events_us_dir)),
+        "click_purchase_stream",
+    )
+    batch = events_click_purchase_pairs(spark, SF_SMOKE)
+    assert streamed.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
