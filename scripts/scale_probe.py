@@ -1,0 +1,183 @@
+"""Scale probe: measure the LLM-pipeline operators on a corpus ~10× the
+bench fixture to verify the sub-quadratic scaling claims empirically.
+
+Generates a deterministic synthetic corpus (documents + embeddings) in
+/tmp with the same shape as the driver fixtures (TESTDATA.md) — same
+columns, similar doc length, planted exact-dup and near-dup pairs — at
+a requested size, entirely with JVM-side expressions (no Python row
+loop, no RNG: every value is a function of doc_id via md5/hash, so the
+corpus is reproducible bit-for-bit).
+
+Usage: python scripts/scale_probe.py [n_docs] [out_dir]
+       (defaults: 50_000 docs, /tmp/scale_probe)
+
+Prints one JSON line per operator: {"op": ..., "n_docs": N,
+"seconds": s, "rows": out_rows} — compare against the sf0.1 numbers in
+BENCH_r{N}.json / docs/BENCH_NOTES.md to read the scaling exponent:
+sub-quadratic candidate generation should scale ~linearly in rows at
+fixed duplicate rate, while an all-pairs plan would blow up 100×.
+Results for the committed fixture sizes are recorded in
+docs/SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# 2 000 synthetic tokens — a REALISTIC shingle regime. The driver
+# fixture's ~30-word vocabulary is degenerate for near-dup probing at
+# scale: with 27 000 possible 3-grams, every document pair shares
+# shingles and SimHash signatures collapse (measured: 5.2M hamming≤3
+# pairs over 5 000 docs). A larger vocabulary gives df(shingle)≈1 for
+# non-duplicate content — the property real corpora have and the one
+# the sub-quadratic candidate-generation claims rely on.
+_VOCAB_SIZE = 2000
+
+_DOC_TOKENS = 120  # tokens per document
+_DIM = 64  # embeddings.embedding is FLOAT[64] in the fixture
+
+
+def build_documents(spark, n_docs: int):
+    """documents(doc_id, text, lang, source, n_chars):
+
+    * pairs (2k, 2k+1) with pmod(k, 20) == 0  → EXACT duplicates (5%)
+    * pairs with pmod(k, 20) == 1             → NEAR duplicates (5%):
+      same base text, one token swapped in the odd member — Jaccard on
+      3-gram shingles ≈ (n-4)/(n+2) ≈ 0.97, above the 0.8 ladder
+      threshold.
+    Everything is a deterministic function of doc_id: token i of doc d
+    is vocab[pmod(hash(seed(d), i), V)].
+    """
+    from pyspark.sql import functions as F
+
+    d = F.col("id")
+    k = (d / 2).cast("long")
+    share = F.pmod(k, 20) < 2  # exact-dup and near-dup pair groups
+    seed = F.when(share, k * 2).otherwise(d)  # pair members share a seed
+    tok = lambda i: F.concat(
+        F.lit("w"), F.pmod(F.hash(seed, F.lit(i)), _VOCAB_SIZE).cast("string")
+    )
+    toks = F.transform(F.sequence(F.lit(1), F.lit(_DOC_TOKENS)), tok)
+    # near-dup member (odd doc of a pmod(k,20)==1 pair): swap token 7
+    near = share & (F.pmod(k, 20) == 1) & (F.pmod(d, 2) == 1)
+    toks = F.when(
+        near,
+        F.concat(
+            F.slice(toks, 1, 6),
+            F.array(F.lit("swapped")),
+            F.slice(toks, 8, _DOC_TOKENS - 7),
+        ),
+    ).otherwise(toks)
+    text = F.array_join(toks, " ")
+    return spark.range(n_docs).select(
+        d.alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), F.pmod(d, 20).cast("string")).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def build_embeddings(spark, n_vecs: int):
+    """embeddings(vec_id, embedding float[], label): coordinates are
+    deterministic pseudo-uniform in [-1, 1]; pair groups as in
+    build_documents share coordinates, with the near member nudged by
+    +0.01 on every dim (cosine ≈ 1) — candidates any sign-band LSH
+    must recover."""
+    from pyspark.sql import functions as F
+
+    d = F.col("id")
+    k = (d / 2).cast("long")
+    share = F.pmod(k, 20) < 2
+    seed = F.when(share, k * 2).otherwise(d)
+    near = share & (F.pmod(k, 20) == 1) & (F.pmod(d, 2) == 1)
+    coord = lambda j: (
+        (F.pmod(F.hash(seed, F.lit(j + 1000)), 2001) - 1000) / 1000.0
+        + F.when(near, 0.01).otherwise(0.0)
+    ).cast("float")
+    vec = F.array(*[coord(j) for j in range(_DIM)])
+    return spark.range(n_vecs).select(
+        d.alias("vec_id"),
+        vec.alias("embedding"),
+        F.pmod(d, 10).cast("int").alias("label"),
+    )
+
+
+_PROBE_OPS = [
+    "dedup_exact_documents",
+    "dedup_fingerprint_documents",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_near_dup",
+    "dedup_simhash_hamming_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_cluster_assignment",
+    "text_quality_scores",
+    "text_language_id",
+    "corpus_prep_pipeline",
+    "knn_brute_force",
+    "train_val_test_split",
+    "deterministic_shuffle",
+]
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+
+    from data_lake_construction_and_querying_with_pyspark_spark import get_spark
+    from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
+
+    spark = get_spark(app_name="scale_probe")
+    qs = all_queries()
+
+    docs_path = f"{out}/documents.parquet"
+    emb_path = f"{out}/embeddings.parquet"
+    if not os.path.exists(docs_path):
+        build_documents(spark, n_docs).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(emb_path):
+        build_embeddings(spark, n_docs).write.mode("overwrite").parquet(emb_path)
+
+    def run(df) -> None:
+        # noop sink like bench.py: the full plan executes (a bare
+        # .count() lets Spark shortcut pure projections to footer counts)
+        df.write.mode("overwrite").format("noop").save()
+
+    # warm the page cache + codegen once
+    run(spark.read.parquet(docs_path))
+    run(spark.read.parquet(emb_path))
+
+    # ops whose output cardinality is the sanity signal (planted dup
+    # rate: ~n/40 exact pairs + ~n/40 near pairs) — counted after the
+    # timed run, off the same plan.
+    count_rows = {
+        "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_near_dup",
+        "dedup_simhash_hamming_pairs",
+        "dedup_embedding_cosine_pairs",
+        "dedup_cluster_assignment",
+    }
+
+    for op in _PROBE_OPS:
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        time.sleep(0.3)
+        t0 = time.time()
+        df = qs[op](spark, out)
+        run(df)
+        dt = time.time() - t0
+        n = df.count() if op in count_rows else None
+        print(
+            json.dumps(
+                {"op": op, "n_docs": n_docs, "seconds": round(dt, 2), "rows": n}
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,43 @@ def test_sign_band_cosine_pairs_no_false_positives(spark):
     assert set(reported) <= set(brute)  # subset: no invented pairs
     for pair, c in reported.items():
         assert c == brute[pair]  # bit-identical exact verify
+
+
+@given(ids=st.lists(st.integers(0, 10**12), min_size=1, max_size=40, unique=True))
+@settings(**_SETTINGS)
+def test_split_assignment_invariants(spark, ids):
+    """assign_split: (1) pure function of the id — re-assigning the
+    same frame repartitioned/reversed yields the identical mapping;
+    (2) every row lands in exactly one of train/val/test; (3) growing
+    the corpus never moves an existing id between splits (the
+    contamination-audit property)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.splits import (
+        assign_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    a = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_split(df.repartition(7).orderBy("doc_id"), "doc_id").collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    grown = spark.createDataFrame([(i,) for i in ids] + [(10**13,)], "doc_id bigint")
+    g = {r.doc_id: r.split for r in assign_split(grown, "doc_id").collect()}
+    assert all(g[i] == a[i] for i in ids)
+
+
+@given(seed_salt=st.integers(0, 3))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_deterministic_shuffle_is_permutation(spark, seed_salt):
+    """deterministic_shuffle: pos is a permutation of 1..n and is
+    invariant to physical layout (partitioning), per its contract."""
+    from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    q = all_queries()["deterministic_shuffle"]
+    out = q(spark, SF_SMOKE).collect()
+    n = len(out)
+    assert sorted(r.pos for r in out) == list(range(1, n + 1))
