@@ -1,5 +1,7 @@
-"""Remaining TPC-H query shapes (Q4, Q10, Q12-Q14, Q16-Q19, Q21, Q22),
-adapted to this lake's star schema.
+"""Remaining TPC-H query shapes (Q4, Q6, Q10, Q12-Q17, Q18-Q22),
+adapted to this lake's star schema — together with the shapes in
+``relational.py`` / ``relational_ext.py`` (Q1/Q2/Q3/Q5/Q7/Q8/Q9/Q11)
+every TPC-H query Q1-Q22 now has an adapted, oracle-checked twin.
 
 The reference's query surface is an arbitrary SQL pass-through
 (reference ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:113``,
@@ -473,3 +475,114 @@ def sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q22_SQL)
+
+
+@register(
+    "forecast_revenue_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the revenue-change forecast — a pure scan-side query:
+    every predicate (shipdate range, discount band, quantity cap)
+    pushes to the parquet scan, no join, one partial-aggregated
+    global sum. The canonical 'is pushdown working' probe: its plan
+    must show all three PushedFilters and a two-phase HashAggregate
+    over a 1-row shuffle. Discount literals are inexact doubles, but
+    both engines compare the same stored double against the same
+    literal, so the selection is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q15_SQL = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+@register("top_supplier_q15", oracle=_Q15_SQL)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top revenue supplier(s) — the view-
+    plus-scalar-MAX shape. Literal SQL shared with the oracle: the
+    revenue CTE is referenced twice (join input + MAX subquery) and
+    Spark plans the MAX as a one-row scalar-subquery job feeding a
+    post-aggregate filter. Ties are kept by both engines; equality on
+    the exact-decimal-derived double is portable where it would be
+    flaky on a float SUM."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q15_SQL)
+
+
+@register(
+    "dominant_supplier_q20",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+        FROM lineitem
+        WHERE year(l_shipdate) = 1995
+        GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN pq ON pq.l_suppkey = s.s_suppkey
+    JOIN pt ON pq.l_partkey = pt.l_partkey
+    WHERE pq.sq > 0.5 * pt.tq
+    """,
+)
+def dominant_supplier_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape with observed shipments standing in for
+    partsupp availability: suppliers who shipped more than half of some
+    part's 1995 volume. Two stacked aggregates on the same first-level
+    grouping — the (part, supplier) rollup re-aggregates to per-part
+    totals, so the second shuffle moves part-level rows only — then a
+    broadcast-sized supplier join and a distinct. Quantity sums are
+    integer-valued doubles (exact at any order); 0.5 × tq is one exact
+    double product, so the > cut is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    s = load_table(spark, sf_dir, "supplier")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        pq.join(pt, "l_partkey")
+        .filter(F.col("sq") > F.lit(0.5) * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -293,3 +293,23 @@ def test_deterministic_shuffle_avoids_global_sort_funnel(spark, queries):
     plan = _plan(queries["deterministic_shuffle"](spark, SF_SMOKE))
     assert "hashpartitioning(bucket" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_q6_all_predicates_push_to_scan(spark, queries):
+    """Q6 is the canonical pushdown probe: shipdate range, discount
+    band, and quantity cap must ALL reach the parquet scan, with no
+    join and a two-phase aggregate."""
+    plan = _plan(queries["forecast_revenue_q6"](spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q15_scalar_max_is_one_row_job(spark, queries):
+    """Q15's MAX threshold must plan as a single scalar Subquery
+    feeding a filter — not a join against the revenue CTE."""
+    import re
+
+    plan = _plan(queries["top_supplier_q15"](spark, SF_SMOKE))
+    assert len(set(re.findall(r"Subquery (subquery#\d+)", plan))) == 1, plan
