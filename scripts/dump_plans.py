@@ -113,6 +113,42 @@ COMMENTARY = {
         "divisions and boundary-straddling docs explode through "
         "Generate. Shards pack in parallel — no global sort."
     ),
+    "forecast_revenue_q6": (
+        "The canonical pushdown probe: all three predicates (shipdate "
+        "range, discount band, quantity cap) reach the parquet scan as "
+        "PushedFilters; no join; a two-phase HashAggregate over a "
+        "1-row shuffle. At 100 TB the scan reads only matching row "
+        "groups of 4 columns."
+    ),
+    "late_shipper_q21": (
+        "Correlated EXISTS / NOT EXISTS decorrelated by Catalyst into "
+        "one LEFT SEMI and one LEFT ANTI join, both equi-keyed on "
+        "orderkey with the supplier/shipdate inequalities as join "
+        "residuals — never a per-row subquery, never a cartesian. "
+        "Three lineitem shuffles on the same key: pre-bucketing the "
+        "fact table by orderkey would make all three shuffle-free."
+    ),
+    "customer_order_distribution_q13": (
+        "The priority filter lives in the LEFT JOIN's condition, so "
+        "the physical join stays LeftOuter and zero-order customers "
+        "survive into the c_count=0 bin; both aggregation levels run "
+        "partial before their shuffles."
+    ),
+    "deterministic_shuffle": (
+        "Global permutation rank with NO single-partition funnel for "
+        "the data: the corpus-side row_number windows partition by the "
+        "key's first hex byte (hashpartitioning Exchange), and the "
+        "only Exchange SinglePartition in the plan carries the 256-row "
+        "bucket-offset prefix sum. Bucket-major order equals global "
+        "key order because the bucket is a key prefix."
+    ),
+    "table_profile_events": (
+        "One scan feeds the whole profile: the multi-column exact "
+        "COUNT DISTINCT plans as a single Expand + two-phase "
+        "HashAggregate; the per-column rows come from exploding an "
+        "array of struct literals over the 1-row aggregate — the "
+        "6-scan UNION ALL the oracle runs is exactly what this avoids."
+    ),
 }
 
 
