@@ -99,11 +99,13 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    # Microsecond-exact gap (cast-to-long would truncate to seconds and
-    # disagree with the oracle's interval comparison on sub-second gaps).
+    # Microsecond-exact gap via interval comparison — the same shape as
+    # the oracle's `ts - LAG(ts) > INTERVAL '30 minutes'`. Works for both
+    # TIMESTAMP and TIMESTAMP_NTZ `ts` (the nanos parquet column lands as
+    # NTZ on current Spark, where unix_micros would not resolve), and
+    # avoids the cast-to-long path that truncates to seconds.
     is_new = (
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000)
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES"))
     ).cast("int")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = ev.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
