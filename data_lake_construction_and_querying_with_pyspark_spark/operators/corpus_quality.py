@@ -134,6 +134,141 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RARE_DF = 100  # a token is "rare" if ≤ this many docs contain it
+# Occurrence-level inverted index and per-token document frequency,
+# shared by the two corpus-statistics operators below.
+_ORACLE_INV = """
+    inv AS (
+        SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+    ),
+    dft AS (
+        SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM inv) GROUP BY tok
+    )
+"""
+
+
+def _token_df(inv: DataFrame) -> DataFrame:
+    """Per-token document frequency from an occurrence-level index."""
+    return (
+        inv.select("doc_id", "tok").distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+@register(
+    "unigram_rarity_scores",
+    oracle=f"""
+    WITH {_ORACLE_INV}
+    SELECT doc_id,
+           COUNT(*) AS n_tok_occurrences,
+           CAST(SUM(CAST(1.0::DOUBLE / df AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*)
+               AS mean_inv_df,
+           CAST(SUM(CASE WHEN df <= {_RARE_DF} THEN 1 ELSE 0 END) AS INT)
+               AS n_rare_occurrences
+    FROM inv JOIN dft USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def unigram_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality signal: per-document mean inverse
+    document frequency over token occurrences — the RNG-free stand-in
+    for a unigram-LM perplexity score (a doc of corpus-common tokens
+    scores low; one dense in corpus-rare tokens scores high, flagging
+    both interesting long-tail text and OCR/spam noise for triage).
+
+    Determinism contract: each occurrence contributes ``1.0/df`` (one
+    correctly-rounded IEEE division), cast to DECIMAL(20,12) BEFORE the
+    sum so partial-aggregation order cannot move the result, then one
+    cast back to double and one division by the occurrence count. The
+    12-digit cut is deliberate: Spark's double→decimal cast rounds the
+    SHORTEST decimal rendering of the double (~17 significant digits,
+    Java ``BigDecimal.valueOf``) while DuckDB rounds the exact binary
+    value — the two agree only when the cut sits far above the double's
+    ~1e-17-relative noise floor (at scale 20 they diverge by ~1e-19,
+    measured).
+
+    Scale: token DF is one distinct + one aggregate keyed by token
+    (vocab-sized result); the occurrence→df join is a plain equi-join
+    that AQE broadcast-converts whenever the vocabulary fits (natural
+    language vocab ≪ corpus), leaving one exchange keyed by doc_id for
+    the per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    scored = inv.join(_token_df(inv), "tok")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok_occurrences"),
+        (
+            F.sum((F.lit(1.0) / F.col("df")).cast("decimal(20,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_inv_df"),
+        F.sum(F.when(F.col("df") <= _RARE_DF, 1).otherwise(0)).cast("int").alias(
+            "n_rare_occurrences"
+        ),
+    )
+
+
+_BOILER_FRAC = 0.79  # tokens in > 79% of docs are corpus boilerplate
+
+
+@register(
+    "boilerplate_token_scrub",
+    oracle=f"""
+    WITH {_ORACLE_INV},
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    boiler AS (SELECT tok FROM dft, nd WHERE CAST(df AS DOUBLE) / n_docs > {_BOILER_FRAC}),
+    kept AS (SELECT doc_id, pos, tok FROM inv
+             WHERE tok NOT IN (SELECT tok FROM boiler)),
+    agg AS (SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   CAST(COUNT(*) AS INT) AS n_kept_tokens
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_kept_tokens, 0) AS n_kept_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def boilerplate_token_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven boilerplate removal (the token-level cousin of
+    CCNet's shared-line scrub): tokens present in more than 79% of all
+    documents are corpus boilerplate; every document is rebuilt with
+    those tokens deleted and original token order preserved. Docs
+    scrubbed to nothing survive with empty text (LEFT join back).
+
+    The boilerplate vocabulary is DATA-DEPENDENT (df over the corpus
+    itself), so the plan derives it, broadcasts it (vocab-sized), and
+    anti-joins the occurrence index against it — no collect, no UDF.
+    Reconstruction sorts each doc's surviving (pos, tok) pairs inside
+    a per-doc aggregate: one exchange keyed by doc_id, arrays never
+    shuffled. At 100 TB the same plan holds: DF table ≈ vocabulary ≪
+    corpus → broadcast stays cheap; everything else is one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select("doc_id", F.posexplode(_toks()).alias("pos", "tok"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        _token_df(inv)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("df").cast("double") / F.col("n_docs") > _BOILER_FRAC)
+        .select("tok")
+    )
+    kept = inv.join(F.broadcast(boiler), "tok", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept_tokens"),
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+    )
+
+
 # Target mixture: absolute per-source quotas for the drawn sample.
 # Production pipelines derive these from token budgets per source;
 # fixed literals keep the draw (and its oracle) fully deterministic.

@@ -1,0 +1,211 @@
+"""Semantic (embedding-space) corpus clustering and dedup.
+
+SemDeDup-shaped pipeline (Abbas et al. 2023, arXiv:2303.09540): cluster
+the embedding table with k-means, then mark within-cluster near
+duplicates by exact cosine — the sub-quadratic alternative to global
+all-pairs comparison (pairs are only scored inside a cluster, so the
+pair count is Σ|cell|² with |cell| ≈ n/k, not n²; production picks
+k ∝ n to bound cell size).
+
+What makes this implementation oracle-checkable (unusual for k-means):
+every step is DETERMINISTIC and cross-engine exact, so DuckDB can
+replay the identical iterations and hash-match the result:
+
+* Init: centroids are the ``k`` lowest ``vec_id`` vectors — no RNG.
+* Assignment: argmin over cells of ``⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩`` where
+  every dot product is the same sequential left fold in both engines
+  (Spark ``F.aggregate``/``zip_with`` vs DuckDB ``list_dot_product`` —
+  bit-identical, proven by the knn_brute_force oracle), with cell id as
+  the tie-break.
+* Update: per-(cell, position) means go through
+  ``CAST(val AS DECIMAL(28,18))`` before ``SUM`` — decimal addition is
+  exact and associative, so partial-aggregation order (Spark partitions
+  vs DuckDB morsels) cannot change the centroid; one cast back to
+  DOUBLE and one division are each correctly rounded. This is the
+  registry's money-sum determinism contract applied to vector means.
+* Fixed iteration count (no convergence test → no float compare).
+
+Scale notes (100 TB): the per-iteration plan is the canonical
+distributed Lloyd's step — corpus × broadcast(k centroids) for
+assignment (map-side, no shuffle), then one aggregation keyed by
+(cell, position) for the update (k·dim groups — tiny). The long-format
+(cell, pos, val) centroid update is what keeps the reduction exact AND
+partial: decimal partial sums combine map-side before the exchange.
+The argmin here uses a row_number window (mirrors the oracle 1:1); on
+a real cluster swap it for ``min_by(struct(cell), struct(d2, cell))``
+in the same groupBy — identical semantics, but the argmin reduces
+map-side instead of shuffling n·k scored rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+    as_double_vec,
+    dot,
+)
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+K_CELLS = 8  # clusters; production: k ∝ n so |cell| stays bounded
+N_ITERS = 3  # fixed Lloyd's iterations (determinism: no convergence test)
+TAU = 0.4  # within-cluster cosine threshold (matches dedup_embedding_cosine_pairs)
+
+
+def _d2_sql(v: str, c: str) -> str:
+    """Squared euclidean distance via three dot products — the exact
+    arithmetic shape both engines evaluate identically:
+    ``(a - 2*b) + c`` with left-associative parsing."""
+    return (
+        f"list_dot_product({v},{v}) - 2*list_dot_product({v},{c})"
+        f" + list_dot_product({c},{c})"
+    )
+
+
+def _oracle_semantic(k: int = K_CELLS, iters: int = N_ITERS, tau: float = TAU) -> str:
+    """Chained-CTE replay of the deterministic Lloyd's iterations."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cent
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT q.vec_id, q.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_d2_sql('q.v', 'c.cent')}, c.cell) AS rn
+                FROM v q, c{t - 1} c) WHERE rn = 1)"""
+        )
+        if t < iters:
+            ctes.append(
+                f"""c{t} AS (
+                SELECT cell, list(m ORDER BY pos) AS cent FROM (
+                    SELECT cell, pos,
+                           CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+                    FROM (SELECT cell, generate_subscripts(v,1) AS pos, unnest(v) AS val
+                          FROM a{t})
+                    GROUP BY cell, pos) GROUP BY cell)"""
+            )
+    final = f"a{iters}"
+    return f"""
+    WITH {','.join(ctes)},
+    nm AS (SELECT vec_id, v, cell,
+                  sqrt(list_dot_product(v, v)) AS norm FROM {final}),
+    dups AS (
+        SELECT DISTINCT i.vec_id
+        FROM nm i JOIN nm j
+          ON i.cell = j.cell AND j.vec_id < i.vec_id
+         AND list_dot_product(i.v, j.v) / (i.norm * j.norm) >= {tau})
+    SELECT n.vec_id, CAST(n.cell AS INT) AS cell_id,
+           (d.vec_id IS NOT NULL) AS is_semantic_dup
+    FROM nm n LEFT JOIN dups d ON n.vec_id = d.vec_id
+    """
+
+
+def kmeans_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd's assignment: nearest centroid per vector (cell-id
+    tie-break). ``centroids`` is k rows → broadcast. The argmin is a
+    ``min_by`` over struct(d2, cell) — lexicographic struct ordering is
+    exactly the oracle's ``ORDER BY d2, cell`` with ``rn = 1``, but as
+    an aggregation it collapses the k scored copies of each vector
+    map-side (the cross join never repartitions, so all k live in one
+    partition) and only n rows reach the exchange — the 100 TB shape,
+    vs a window that would shuffle all n·k scored rows."""
+    d2 = (
+        dot("v", "v") - F.lit(2) * dot("v", "cent") + dot("cent", "cent")
+    ).alias("d2")
+    best = F.min_by(F.struct("cell", "v"), F.struct("d2", "cell")).alias("b")
+    return (
+        base.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "v", "cell", d2)
+        .groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Exact centroid update in long format: per-(cell, pos) decimal
+    mean, reassembled into an ordered array. k·dim groups — tiny."""
+    long = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+    means = long.groupBy("cell", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(28,18)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cent")
+    )
+
+
+def _materialize_centroids(spark: SparkSession, centroids: DataFrame) -> DataFrame:
+    """Collect the k×dim centroid table to the driver and rebuild it as
+    a literal DataFrame. This is the real distributed-k-means shape —
+    centroids are driver state between iterations (k·dim values, ~KB),
+    so iteration t+1's plan starts from literals instead of re-deriving
+    every prior iteration inside its broadcast subtree (which turns a
+    3-pass algorithm into a 6-pass plan). Python floats round-trip
+    doubles exactly, so materialization cannot perturb determinism."""
+    rows = centroids.collect()
+    return spark.createDataFrame(
+        [(int(r["cell"]), [float(x) for x in r["cent"]]) for r in rows],
+        "cell int, cent array<double>",
+    )
+
+
+@register("semantic_dedup_embeddings", oracle=_oracle_semantic())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: deterministic k-means (k=8, 3 iterations) over the
+    embedding table, then mark each vector a semantic duplicate if a
+    lower-id vector in the SAME cluster has cosine ≥ 0.4 with it.
+    Returns (vec_id, cell_id, is_semantic_dup) for every vector.
+
+    The within-cluster pair scan is the SemDeDup trick: candidate pairs
+    are bounded by Σ|cell|² instead of n², and clusters are independent
+    so the pair stage parallelizes per cell with no cross-cell data
+    movement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Session-owned persists (repo convention — callers clearCache):
+    # `base` feeds every iteration's assignment; `nm` feeds both sides
+    # of the pair join plus the final projection.
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    init_w = Window.orderBy("vec_id")
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(K_CELLS)
+        .select(
+            (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
+            F.col("v").alias("cent"),
+        )
+    )
+    assigned = None
+    for t in range(1, N_ITERS + 1):
+        assigned = kmeans_assign(base, centroids)
+        if t < N_ITERS:
+            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+    nm = assigned.withColumn("norm", F.sqrt(dot("v", "v"))).persist()
+    i, j = nm.alias("i"), nm.alias("j")
+    cosine = dot("i.v", "j.v") / (F.col("i.norm") * F.col("j.norm"))
+    dups = (
+        i.join(
+            j,
+            (F.col("i.cell") == F.col("j.cell")) & (F.col("j.vec_id") < F.col("i.vec_id")),
+        )
+        .filter(cosine >= TAU)
+        .select(F.col("i.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        nm.alias("n")
+        .join(dups.alias("d"), F.col("n.vec_id") == F.col("d.vec_id"), "left")
+        .select(
+            F.col("n.vec_id").alias("vec_id"),
+            F.col("n.cell").cast("int").alias("cell_id"),
+            F.col("d.vec_id").isNotNull().alias("is_semantic_dup"),
+        )
+    )

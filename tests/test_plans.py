@@ -150,6 +150,8 @@ _NESTED_LOOP_OK = {
     "funnel_conversion",  # 1-row × 1-row count cross joins
     "knn_ivf_probe",  # query × 16-centroid broadcast distance table
     "join_key_skew_profile",  # keys × broadcast 1-row total
+    "semantic_dedup_embeddings",  # corpus × broadcast k-centroid table (Lloyd's assign)
+    "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
 }
 
 _SLOW = {"dedup_cluster_assignment", "streaming_hourly_rollup"}  # iterative / streaming

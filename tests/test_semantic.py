@@ -1,0 +1,71 @@
+"""Semantic (k-means + SemDeDup) operator tests.
+
+The DuckDB oracle already pins cross-engine exactness of the full
+pipeline (tests/test_queries_oracle.py); these tests pin the semantics
+independently: partition structure, and that the duplicate flag agrees
+with a direct numpy cosine check inside each cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def semantic_result(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        semantic_dedup_embeddings,
+    )
+
+    rows = semantic_dedup_embeddings(spark, SF_SMOKE).collect()
+    spark.catalog.clearCache()
+    return rows
+
+
+def _vectors(spark):
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    return {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+
+def test_semantic_partition_structure(spark, semantic_result):
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import K_CELLS
+
+    vecs = _vectors(spark)
+    ids = [r["vec_id"] for r in semantic_result]
+    assert sorted(ids) == sorted(vecs)  # exactly one row per vector
+    cells = {r["cell_id"] for r in semantic_result}
+    assert cells <= set(range(K_CELLS))
+    assert len(cells) > 1  # k-means actually split the corpus
+
+
+def test_semantic_dup_flag_matches_numpy_cosine(spark, semantic_result):
+    """is_semantic_dup == ∃ lower-id same-cluster vector with cosine ≥ τ,
+    recomputed directly in numpy from the raw embeddings. Pairs within
+    1e-9 of the threshold are skipped (fold-order float divergence)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import TAU
+
+    vecs = _vectors(spark)
+    by_cell: dict[int, list[int]] = {}
+    for r in sorted(semantic_result, key=lambda r: r["vec_id"]):
+        by_cell.setdefault(r["cell_id"], []).append(r["vec_id"])
+    flags = {r["vec_id"]: r["is_semantic_dup"] for r in semantic_result}
+
+    for cell, members in by_cell.items():
+        for idx, i in enumerate(members):
+            cosines = []
+            for j in members[:idx]:
+                vi, vj = vecs[i], vecs[j]
+                cosines.append(
+                    float(vi @ vj) / (np.linalg.norm(vi) * np.linalg.norm(vj))
+                )
+            if any(abs(c - TAU) < 1e-9 for c in cosines):
+                continue  # boundary pair: engines may disagree in the last ulp
+            expected = any(c >= TAU for c in cosines)
+            assert flags[i] == expected, (i, cell, max(cosines, default=None))
