@@ -365,6 +365,67 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRAW_STEP = 5000  # one draw per this many characters of shard stream
+
+
+@register(
+    "weighted_systematic_draw",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, source, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('draw:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prefix
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars,
+           CAST((prefix + n_chars - 1 + {_DRAW_STEP}) // {_DRAW_STEP}
+                - (prefix - 1 + {_DRAW_STEP}) // {_DRAW_STEP} AS INT) AS n_draws
+    FROM pos
+    WHERE (prefix + n_chars - 1 + {_DRAW_STEP}) // {_DRAW_STEP}
+          - (prefix - 1 + {_DRAW_STEP}) // {_DRAW_STEP} > 0
+    """,
+)
+def weighted_systematic_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted systematic sampling: documents are laid end-to-end
+    per source shard in a deterministic md5 pseudo-random order, and a
+    draw lands every 5 000 characters of the stream — so selection
+    probability is proportional to document length (the token-budget-
+    aware way to subsample a corpus), a doc spanning several draw
+    points is drawn with multiplicity, and the whole draw is RNG-free:
+    retries, AQE re-plans, and re-runs select byte-identical samples.
+
+    Pure integer arithmetic on an exclusive per-shard prefix sum (the
+    sequence_packing machinery pointed at sampling): doc d is drawn
+    once per multiple of 5 000 inside [prefix, prefix + n_chars). The
+    count formula shifts both endpoints up by one STEP so every
+    operand stays positive — at prefix = 0 the unshifted form divides
+    −1, where DuckDB's ``//`` floors (−1) but Spark's ``div``
+    truncates (0) and the first doc of each shard would disagree.
+    One window shuffle per source shard; shards sample in parallel,
+    no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("draw:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    pos = (
+        docs.select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars") > 0)
+        .withColumn("prefix", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+    )
+    n_draws = F.expr(
+        f"(prefix + n_chars - 1 + {_DRAW_STEP}) div {_DRAW_STEP}"
+        f" - (prefix - 1 + {_DRAW_STEP}) div {_DRAW_STEP}"
+    )
+    return (
+        pos.select("doc_id", "source", "n_chars", n_draws.cast("int").alias("n_draws"))
+        .filter(F.col("n_draws") > 0)
+    )
+
+
 @register(
     "source_mix_draw",
     oracle=f"""

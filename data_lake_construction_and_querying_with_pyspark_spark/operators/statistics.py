@@ -130,6 +130,54 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "outlier_orders_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round((o_totalprice - s1 / n)
+                 / sqrt(s2 / n - (s1 / n) * (s1 / n)), 9) AS z_score
+    FROM orders JOIN m USING (o_orderpriority)
+    WHERE abs(round((o_totalprice - s1 / n)
+                    / sqrt(s2 / n - (s1 / n) * (s1 / n)), 9)) > 1.5
+    """,
+)
+def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority z-score outliers (|z| > 1.5) over order totalprice,
+    from the same exact-partial-moment machinery as the correlation
+    operator: one aggregation ships (n, Σx, Σx²) per group — the
+    squares multiplied as DECIMALS so the products are exact (a double
+    product cast to 4 decimals sits within 3× of totalprice²'s noise
+    floor; decimal×decimal does not round at all) — then the tiny
+    stats table broadcasts back onto the fact scan. The z-score is
+    rounded to 9 dp on BOTH sides before the threshold compare, so the
+    emitted row set is identical across engines (registry determinism
+    contract applied to a filter predicate). Two scans of orders, one
+    broadcast join, no window."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    pd2 = p.cast("decimal(18,2)")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(pd2).cast("double").alias("s1"),
+        F.sum(pd2 * pd2).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = F.round((p - s1 / n) / F.sqrt(s2 / n - (s1 / n) * (s1 / n)), 9)
+    return (
+        o.join(F.broadcast(m), "o_orderpriority")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", z.alias("z_score"))
+        .filter(F.abs(F.col("z_score")) > 1.5)
+    )
+
+
+@register(
     "event_transition_counts",
     oracle="""
     WITH nxt AS (
