@@ -142,6 +142,33 @@ COMMENTARY = {
         "bucket-offset prefix sum. Bucket-major order equals global "
         "key order because the bucket is a key prefix."
     ),
+    "semantic_dedup_embeddings": (
+        "SemDeDup final stage: the Lloyd's assignment is corpus × "
+        "broadcast k-centroid table with a map-side partial min_by "
+        "argmin (only n rows reach the exchange, not n·k), and the "
+        "within-cluster pair scan is an equi-join on cell with the "
+        "vec_id inequality as a join residual — pair volume is "
+        "Σ|cell|², never n²."
+    ),
+    "boilerplate_token_scrub": (
+        "The data-derived boilerplate vocabulary (high-DF tokens) "
+        "broadcasts into a LEFT ANTI BroadcastHashJoin against the "
+        "occurrence index; text rebuilds inside the per-doc aggregate "
+        "(sorted struct collect), so full documents never shuffle as "
+        "exploded rows more than once."
+    ),
+    "outlier_orders_zscore": (
+        "Two-pass outlier emission: pass one ships 3 exact partial "
+        "moments per group across a 5-row shuffle; the stats table "
+        "broadcasts back onto the second fact scan (BroadcastHashJoin) "
+        "— no window, no sort, and the fact table is never shuffled."
+    ),
+    "weighted_systematic_draw": (
+        "One Window node per source shard (hashpartitioning Exchange on "
+        "source) computes the exclusive character prefix sum; draw "
+        "multiplicity is pure integer division in the projection. No "
+        "global sort, no SinglePartition funnel for the data."
+    ),
     "table_profile_events": (
         "One scan feeds the whole profile: the multi-column exact "
         "COUNT DISTINCT plans as a single Expand + two-phase "

@@ -217,6 +217,44 @@ def test_sequence_packing_single_window_pass(spark, queries):
     assert plan.count("Window") == 1, plan
 
 
+def test_semantic_dedup_pair_join_is_equi(spark, queries):
+    """SemDeDup's within-cluster pair scan must be an equi-join on the
+    cell id (vec_id inequality as residual) and the Lloyd's argmin a
+    map-side partial min_by — never a CartesianProduct, and never a
+    window over the n·k scored rows."""
+    plan = _plan(queries["semantic_dedup_embeddings"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "min_by" in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_boilerplate_scrub_anti_join_broadcasts(spark, queries):
+    """The corpus-derived boilerplate vocabulary is vocab-sized → it
+    must broadcast into a LEFT ANTI BroadcastHashJoin against the
+    occurrence index (a shuffled anti join would exchange the whole
+    exploded corpus against a tiny token list)."""
+    plan = _plan(queries["boilerplate_token_scrub"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_outlier_zscore_stats_broadcast_no_window(spark, queries):
+    """The per-group moment table (5 rows) must broadcast back onto the
+    fact scan; the whole operator runs without a Window or sort."""
+    plan = _plan(queries["outlier_orders_zscore"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_weighted_draw_single_shard_window(spark, queries):
+    """The size-weighted draw is one per-source prefix-sum window —
+    exactly one Window node, partitioned by source (never a global
+    single-partition sort of the corpus)."""
+    plan = _plan(queries["weighted_systematic_draw"](spark, SF_SMOKE))
+    assert plan.count("Window [") == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
 def test_q4_exists_plans_as_semi_join(spark, queries):
     """Q4's correlated EXISTS must decorrelate to ONE LEFT SEMI join
     keyed on orderkey (the shipdate inequality rides as a join
