@@ -158,18 +158,18 @@ def _materialize_centroids(spark: SparkSession, centroids: DataFrame) -> DataFra
     )
 
 
-@register("semantic_dedup_embeddings", oracle=_oracle_semantic())
-def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: deterministic k-means (k=8, 3 iterations) over the
-    embedding table, then mark each vector a semantic duplicate if a
-    lower-id vector in the SAME cluster has cosine ≥ 0.4 with it.
-    Returns (vec_id, cell_id, is_semantic_dup) for every vector.
-
-    The within-cluster pair scan is the SemDeDup trick: candidate pairs
-    are bounded by Σ|cell|² instead of n², and clusters are independent
-    so the pair stage parallelizes per cell with no cross-cell data
-    movement."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def semantic_dedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = K_CELLS,
+    iters: int = N_ITERS,
+    tau: float = TAU,
+) -> DataFrame:
+    """Parameterized SemDeDup core over an ``(vec_id, embedding)``
+    frame. Production picks ``k ∝ n`` so cluster size — and with it the
+    Σ|cell|² pair bound — stays constant as the corpus grows; the
+    registered query pins k for the fixture and its oracle, the scale
+    probe passes a corpus-proportional k."""
     # Session-owned persists (repo convention — callers clearCache):
     # `base` feeds every iteration's assignment; `nm` feeds both sides
     # of the pair join plus the final projection.
@@ -177,16 +177,16 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     init_w = Window.orderBy("vec_id")
     centroids = (
         base.orderBy("vec_id")
-        .limit(K_CELLS)
+        .limit(k)
         .select(
             (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
             F.col("v").alias("cent"),
         )
     )
     assigned = None
-    for t in range(1, N_ITERS + 1):
+    for t in range(1, iters + 1):
         assigned = kmeans_assign(base, centroids)
-        if t < N_ITERS:
+        if t < iters:
             centroids = _materialize_centroids(spark, kmeans_update(assigned))
     nm = assigned.withColumn("norm", F.sqrt(dot("v", "v"))).persist()
     i, j = nm.alias("i"), nm.alias("j")
@@ -196,7 +196,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             j,
             (F.col("i.cell") == F.col("j.cell")) & (F.col("j.vec_id") < F.col("i.vec_id")),
         )
-        .filter(cosine >= TAU)
+        .filter(cosine >= tau)
         .select(F.col("i.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -209,3 +209,17 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d.vec_id").isNotNull().alias("is_semantic_dup"),
         )
     )
+
+
+@register("semantic_dedup_embeddings", oracle=_oracle_semantic())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: deterministic k-means (k=8, 3 iterations) over the
+    embedding table, then mark each vector a semantic duplicate if a
+    lower-id vector in the SAME cluster has cosine ≥ 0.4 with it.
+    Returns (vec_id, cell_id, is_semantic_dup) for every vector.
+
+    The within-cluster pair scan is the SemDeDup trick: candidate pairs
+    are bounded by Σ|cell|² instead of n², and clusters are independent
+    so the pair stage parallelizes per cell with no cross-cell data
+    movement."""
+    return semantic_dedup(spark, load_table(spark, sf_dir, "embeddings"))

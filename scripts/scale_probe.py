@@ -162,12 +162,34 @@ def main() -> None:
         "dedup_cluster_assignment",
     }
 
-    for op in _PROBE_OPS:
+    # SemDeDup probes with corpus-proportional k (the production
+    # setting: cluster size — and the Σ|cell|² pair bound — stays
+    # constant as n grows; the registered query's fixed k=8 is an
+    # oracle-replay convenience, not the scale configuration).
+    def semantic_scaled(spark, sf_dir):
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+            semantic_dedup,
+        )
+
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out_df = semantic_dedup(spark, emb, k=max(8, n_docs // 500), tau=0.95)
+        # emit only flagged rows: the row count IS the planted-pair
+        # recovery signal (expected ≈ n/20: one flag per planted pair)
+        return out_df.filter(F.col("is_semantic_dup"))
+
+    probes = [(op, qs[op]) for op in _PROBE_OPS] + [
+        ("semantic_dedup_scaled_k", semantic_scaled)
+    ]
+    count_rows.add("semantic_dedup_scaled_k")
+
+    for op, fn in probes:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         time.sleep(0.3)
         t0 = time.time()
-        df = qs[op](spark, out)
+        df = fn(spark, out)
         run(df)
         dt = time.time() - t0
         n = df.count() if op in count_rows else None
