@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_near_dup",
     "dedup_embedding_cosine_pairs",
     "dedup_cluster_assignment",
+    "semantic_dedup_embeddings",
     "funnel_conversion",
     "text_quality_scores",
     "knn_brute_force",

@@ -118,6 +118,76 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_TARGET = 50.0
+_CUSUM_THRESHOLD = 500.0
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH dev AS (
+        SELECT event_type, ts, event_id,
+               CAST(SUM(CAST(value - {_CUSUM_TARGET} AS DECIMAL(18,4))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(28,4)) AS prefix
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, ts, event_id,
+               CASE WHEN minp < 0 THEN prefix - minp ELSE prefix END AS cusum
+        FROM (SELECT event_type, ts, event_id, prefix,
+                     MIN(prefix) OVER (
+                         PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+              FROM dev)
+    )
+    SELECT event_type, ts, event_id, CAST(cusum AS DOUBLE) AS cusum
+    FROM s WHERE cusum > {_CUSUM_THRESHOLD}
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CUSUM drift detection per event type: emit every event
+    where the one-sided cumulative deviation of ``value`` above the
+    target level exceeds the threshold. Uses the reset-free CUSUM
+    closed form — ``S_i = prefix_i − min(0, min_{j≤i} prefix_j)`` —
+    which turns the sequential recursion into two window passes, so
+    the whole detector is expressible declaratively (the resetting
+    variant needs true sequential state: that is
+    ``streaming/stateful.py::cusum_drift_alerts``).
+
+    Determinism: deviations quantize to DECIMAL(18,4) before the
+    windowed prefix sum, so the running sums are exact and engine
+    segment-tree vs incremental window accumulation cannot diverge;
+    the threshold compares decimals, and only the reported score casts
+    to double. One shuffle on event_type; both windows share the same
+    sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (F.col("value") - F.lit(_CUSUM_TARGET)).cast("decimal(18,4)")
+    # Decimal-safety notes (both measured as 1e-13 drift before fixing):
+    # keep the prefix at DECIMAL(28,4) so the subtraction can widen one
+    # digit (at 38 DuckDB falls back to DOUBLE), and express the
+    # min(0, ·) clamp as CASE — DuckDB 1.0's LEAST promotes decimal
+    # arguments to DOUBLE.
+    with_prefix = ev.select(
+        "event_type", "ts", "event_id", F.sum(dev).over(w).cast("decimal(28,4)").alias("prefix")
+    )
+    minp = F.min("prefix").over(w)
+    cusum = F.when(minp < 0, F.col("prefix") - minp).otherwise(F.col("prefix"))
+    return (
+        with_prefix.select("event_type", "ts", "event_id", cusum.alias("cusum"))
+        .filter(F.col("cusum") > _CUSUM_THRESHOLD)
+        .select("event_type", "ts", "event_id", F.col("cusum").cast("double").alias("cusum"))
+    )
+
+
 @register(
     "events_gap_fill_resample",
     oracle="""

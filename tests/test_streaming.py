@@ -168,3 +168,61 @@ def test_stream_stream_join_matches_batch(spark, events_us_dir):
     assert streamed.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_cusum_alerts_match_reference_replay(spark, tmp_path_factory):
+    """transformWithStateInPandas CUSUM drift detector: a single-file
+    availableNow drain must emit exactly the alerts a pure-python
+    replay of the CUSUM recursion produces over the same rows in
+    (ts, event_id) order — state carried per event_type, reset on each
+    threshold crossing. Skips where the TWS protobuf protocol has no
+    working google.protobuf (this container)."""
+    from pyspark.sql import types as T
+
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: transformWithState state server cannot start")
+
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.stateful import (
+        CUSUM_TARGET,
+        CUSUM_THRESHOLD,
+        cusum_drift_alerts,
+        cusum_reference,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
+        run_to_completion,
+    )
+
+    d = str(tmp_path_factory.mktemp("events_cusum"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)  # one file → one batch
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    got = run_to_completion(cusum_drift_alerts(stream), query_name="cusum_alerts").collect()
+
+    rows = [
+        (r["event_type"], r["ts"], r["value"])
+        for r in ev.select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    want = cusum_reference(rows, CUSUM_TARGET, CUSUM_THRESHOLD)
+
+    got_t = sorted((r["event_type"], r["alert_ts"], round(r["cusum"], 9), r["n_since_reset"]) for r in got)
+    want_t = sorted((e, ts, round(s, 9), n) for e, ts, s, n in want)
+    assert len(got_t) > 0  # the fixture actually drifts past the threshold
+    assert got_t == want_t
