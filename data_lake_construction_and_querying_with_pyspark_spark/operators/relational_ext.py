@@ -581,3 +581,89 @@ def window_trailing_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trailing_30d_spend"),
         )
     )
+
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE)
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of the pivot operator: four measure
+    columns become (measure, val) long-format rows, the shape feature
+    stores and per-metric quality dashboards ingest. The filter applies
+    BEFORE the unpivot so predicate pushdown still reaches the scan
+    (melting first would hide the predicate behind the Expand). Spark
+    plans unpivot as a zero-shuffle Expand (4 output rows per input
+    row, map-side); the oracle is the portable 4-way UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    slim = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(c).cast("double").alias(c) for c in _UNPIVOT_MEASURES],
+    )
+    return slim.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=_UNPIVOT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+_RCTE = """
+WITH RECURSIVE edges AS (
+    SELECT src, dst, COUNT(*) AS w FROM (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM {events}
+    ) WHERE dst IS NOT NULL GROUP BY src, dst
+),
+paths(src, dst, depth, n_paths) AS (
+    SELECT src, dst, 1 AS depth, w AS n_paths FROM edges
+    UNION ALL
+    SELECT p.src, e.dst, p.depth + 1, p.n_paths * e.w
+    FROM paths p JOIN edges e ON p.dst = e.src
+    WHERE p.depth < 3
+)
+SELECT src, dst, CAST(SUM(n_paths) AS BIGINT) AS paths_le3
+FROM paths GROUP BY src, dst
+"""
+
+
+@register(
+    "recursive_transition_paths",
+    oracle=_RCTE.format(events="events"),
+)
+def recursive_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): weighted path counts
+    of length ≤ 3 through the event-type transition graph — each hop
+    multiplies the observed transition counts, the final aggregate sums
+    over path lengths. The depth guard bounds the recursion (the
+    transition graph is cyclic, so an unguarded closure would never
+    terminate); all arithmetic is integer-exact, so the DuckDB replay
+    of the identical recursive query hash-matches.
+
+    Scale: each recursion level is one equi-join of the frontier
+    against the 25-row edges relation — the frontier stays k²-bounded
+    regardless of corpus size; the only corpus-sized work is the
+    LEAD window building the edges."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_rcte_v")
+    return spark.sql(_RCTE.format(events="events_rcte_v"))
