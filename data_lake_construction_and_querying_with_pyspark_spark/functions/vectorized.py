@@ -118,3 +118,44 @@ def weighted_mean_pandas(value: pd.Series, weight: pd.Series) -> float:  # type:
     if total == 0.0:  # all-zero/all-null weights: JVM twin yields NULL, not NaN
         return None
     return float((value.astype("float64") * w).sum() / total)
+
+
+def token_stats_arrow(docs: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of the token-stats projection — the fifth
+    and lowest-level Python batch API (raw ``pyarrow.RecordBatch`` in
+    and out, no pandas materialization): for per-batch logic that wants
+    zero-copy Arrow compute or to feed an Arrow-native library
+    (tokenizers, DataFusion, polars) directly. Computes (doc_id,
+    n_tokens) per document with pyarrow compute kernels only. JVM twin:
+    ``size(filter(split(text, ' '), t -> t != ''))``; tests pin them
+    row-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            # drop the empty strings a leading/trailing/double space makes:
+            # count total elements minus empties, per list row
+            flat = pc.list_flatten(toks)
+            nonempty = pc.not_equal(flat, "")
+            parents = pc.list_parent_indices(toks)
+            counts = pa.Table.from_arrays(
+                [parents.filter(nonempty)], names=["parent"]
+            ).group_by("parent").aggregate([("parent", "count")])
+            by_parent = dict(
+                zip(
+                    counts.column("parent").to_pylist(),
+                    counts.column("parent_count").to_pylist(),
+                )
+            )
+            n = pa.array(
+                [by_parent.get(i, 0) for i in range(batch.num_rows)], type=pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n], names=["doc_id", "n_tokens"]
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        batch_stats, schema="doc_id bigint, n_tokens int"
+    )

@@ -145,3 +145,21 @@ def test_weighted_mean_udaf_null_on_zero_weight(spark):
     got = {r.g: r.wavg for r in df.groupBy("g").agg(weighted_mean_pandas("v", "w").alias("wavg")).collect()}
     assert got["a"] is None
     assert abs(got["b"] - 3.0) < 1e-12
+
+
+def test_map_in_arrow_token_stats_matches_jvm(spark):
+    """mapInArrow token counts must be row-identical to the JVM
+    size(filter(split)) expression over the documents fixture."""
+    from data_lake_construction_and_querying_with_pyspark_spark.functions.vectorized import (
+        token_stats_arrow,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {r.doc_id: r.n_tokens for r in token_stats_arrow(docs).collect()}
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    want = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(toks).alias("n")).collect()
+    }
+    assert got == want
