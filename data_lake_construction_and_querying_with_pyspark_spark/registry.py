@@ -156,6 +156,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import corpus_quality  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import semantic  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import privacy  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import quality_gates  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import splits  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import profiling  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import statistics  # noqa: F401
