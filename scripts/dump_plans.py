@@ -169,6 +169,36 @@ COMMENTARY = {
         "multiplicity is pure integer division in the projection. No "
         "global sort, no SinglePartition funnel for the data."
     ),
+    "events_cusum_drift": (
+        "CUSUM change detection as two window passes over ONE shared "
+        "sort: the prefix-sum Window and the running-min Window reuse "
+        "the same (event_type, ts, event_id) ordering — one Exchange, "
+        "one Sort, both aggregates decimal-exact."
+    ),
+    "unpivot_lineitem_measures": (
+        "UNPIVOT as a zero-shuffle Expand: 4 long-format rows per "
+        "input row, map-side; the orderkey filter sits BELOW the "
+        "Expand as a PushedFilter on the scan — melting first would "
+        "have hidden it."
+    ),
+    "recursive_transition_paths": (
+        "WITH RECURSIVE as a UnionLoop: each iteration joins only the "
+        "k²-bounded frontier against the 25-row edge relation; the "
+        "corpus-sized work is confined to the LEAD window that builds "
+        "the edges once."
+    ),
+    "expectations_orders": (
+        "All four predicate rules evaluate in ONE conditional-"
+        "aggregation scan (a single partial HashAggregate feeding a "
+        "1-row shuffle), unpivoted to rule rows; the FK rule is a "
+        "broadcast LEFT ANTI join — never one scan per rule."
+    ),
+    "snapshot_diff_orders": (
+        "Keyed snapshot diff: one SortMergeJoin FullOuter on the key "
+        "over md5 content hashes; both sides prune to (key, hash "
+        "inputs) at the scan. Bucket both snapshots by the key and "
+        "the Exchange disappears."
+    ),
     "table_profile_events": (
         "One scan feeds the whole profile: the multi-column exact "
         "COUNT DISTINCT plans as a single Expand + two-phase "

@@ -112,3 +112,24 @@ def test_merge_upsert_staging_never_corrupts_target(spark, tmp_path):
     with _pytest.raises(Exception):
         merge_upsert_lake(spark, path, bad, ["id"])
     assert spark.read.parquet(path).count() == 1
+
+
+def test_snapshot_diff_core_classifies_changes(spark):
+    """Generic keyed snapshot diff: identical snapshots diff empty;
+    added / removed / changed keys classify exactly; null and empty
+    string hash differently (concat_ws drops nulls but the cast
+    preserves the distinction via column position)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.quality_gates import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    assert snapshot_diff(old, old, "k", ["s", "v"]).count() == 0
+
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "CHANGED", 30.0), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
