@@ -128,6 +128,7 @@ _PROBE_OPS = [
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from data_lake_construction_and_querying_with_pyspark_spark import get_spark
     from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
@@ -179,12 +180,59 @@ def main() -> None:
         # recovery signal (expected ≈ n/20: one flag per planted pair)
         return out_df.filter(F.col("is_semantic_dup"))
 
+    # Embedding near-dup with n-SCALED band selectivity at the
+    # production threshold (0.9): the registered query's fixed 8×8
+    # sign-band geometry saturates its 256-key buckets as n grows
+    # (candidates ∝ Σ bucket² → superlinear); production grows bits
+    # per band with n, which the random-hyperplane lsh_multi_buckets
+    # supports directly (8 tables × 16 planes here).
+    def cosine_scaled(spark, sf_dir):
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            dot,
+            lsh_multi_buckets,
+            with_norm,
+        )
+
+        e = lsh_multi_buckets(
+            with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+            n_tables=8,
+            n_planes=16,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        flat = e.select("vec_id", "v", "norm", F.explode("buckets").alias("tb"))
+        cand = (
+            flat.alias("a")
+            .join(flat.alias("b"), F.col("a.tb") == F.col("b.tb"))
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+            .distinct()
+        )
+        ea = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+        )
+        eb = e.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+        )
+        cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
+        return (
+            cand.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .select("vec_a", "vec_b", cosine.alias("cosine"))
+            .filter(F.col("cosine") > 0.9)
+        )
+
     probes = [(op, qs[op]) for op in _PROBE_OPS] + [
-        ("semantic_dedup_scaled_k", semantic_scaled)
+        ("semantic_dedup_scaled_k", semantic_scaled),
+        ("embedding_cosine_scaled_bits", cosine_scaled),
     ]
     count_rows.add("semantic_dedup_scaled_k")
+    count_rows.add("embedding_cosine_scaled_bits")
 
     for op, fn in probes:
+        if only and op not in only:
+            continue
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         time.sleep(0.3)
