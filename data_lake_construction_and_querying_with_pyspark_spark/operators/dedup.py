@@ -521,6 +521,58 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cosine_pairs_scaled(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Embedding near-dup pairs with n-SCALED band selectivity — the
+    production configuration of ``dedup_embedding_cosine_pairs``.
+
+    The registered query keeps a fixed 8-band × 8-sign-bit geometry so
+    its DuckDB oracle can replay the code construction bit-identically;
+    but 256 keys per band saturate as the corpus grows, and candidates
+    ∝ Σ bucket² go superlinear (measured 23 s → 412 s for a 2× corpus,
+    docs/SCALING.md). This variant generates candidates from
+    ``similarity.lsh_multi_buckets`` random-hyperplane tables, where
+    bits-per-table grows with log n (16 bits ⇒ 65 536 keys) — measured
+    SUBLINEAR on the same corpus (16.6 s → 23.9 s for 2×) with perfect
+    planted-pair recovery at the production threshold. Same exact-
+    cosine verify; recall is probabilistic (hyperplane constants are
+    seeded-LCG), hence library function + probe, not an oracle query.
+    """
+    from pyspark import StorageLevel
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        dot,
+        lsh_multi_buckets,
+        with_norm,
+    )
+
+    e = lsh_multi_buckets(with_norm(emb), n_tables=n_tables, n_planes=n_planes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    flat = e.select("vec_id", "v", "norm", F.explode("buckets").alias("tb"))
+    cand = (
+        flat.alias("a")
+        .join(flat.alias("b"), F.col("a.tb") == F.col("b.tb"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") > tau)
+    )
+
+
 # --- near-dup cluster assignment (connected components) ------------------------
 
 

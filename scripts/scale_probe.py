@@ -187,41 +187,12 @@ def main() -> None:
     # per band with n, which the random-hyperplane lsh_multi_buckets
     # supports directly (8 tables × 16 planes here).
     def cosine_scaled(spark, sf_dir):
-        from pyspark import StorageLevel
-        from pyspark.sql import functions as F
-
-        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
-            dot,
-            lsh_multi_buckets,
-            with_norm,
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+            embedding_cosine_pairs_scaled,
         )
 
-        e = lsh_multi_buckets(
-            with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
-            n_tables=8,
-            n_planes=16,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        flat = e.select("vec_id", "v", "norm", F.explode("buckets").alias("tb"))
-        cand = (
-            flat.alias("a")
-            .join(flat.alias("b"), F.col("a.tb") == F.col("b.tb"))
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-            .distinct()
-        )
-        ea = e.select(
-            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
-        )
-        eb = e.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-        )
-        cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
-        return (
-            cand.join(ea, "vec_a")
-            .join(eb, "vec_b")
-            .select("vec_a", "vec_b", cosine.alias("cosine"))
-            .filter(F.col("cosine") > 0.9)
-        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_cosine_pairs_scaled(spark, emb, tau=0.9)
 
     probes = [(op, qs[op]) for op in _PROBE_OPS] + [
         ("semantic_dedup_scaled_k", semantic_scaled),

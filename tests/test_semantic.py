@@ -69,3 +69,30 @@ def test_semantic_dup_flag_matches_numpy_cosine(spark, semantic_result):
                 continue  # boundary pair: engines may disagree in the last ulp
             expected = any(c >= TAU for c in cosines)
             assert flags[i] == expected, (i, cell, max(cosines, default=None))
+
+
+def test_scaled_cosine_pairs_recover_planted_dup(spark):
+    """embedding_cosine_pairs_scaled (random-hyperplane tables, the
+    production-selectivity variant) must recover a planted near-
+    identical pair at tau=0.9 and never plan a cartesian product."""
+    import pyspark.sql.functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        embedding_cosine_pairs_scaled,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # plant: vec_id 9001 = copy of vec 1 nudged +0.01 per dim (cos ≈ 1)
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(9001).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+        "label",
+    )
+    planted = emb.select("vec_id", "embedding", "label").unionByName(clone)
+    out = embedding_cosine_pairs_scaled(spark, planted, tau=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    spark.catalog.clearCache()
+    assert (1, 9001) in pairs
