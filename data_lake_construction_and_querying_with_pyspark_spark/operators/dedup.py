@@ -717,6 +717,45 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_ORACLE_SHINGLES}),
+    pairs AS ({_ORACLE_PAIRS}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's DELIVERABLE: the surviving corpus after
+    near-dup suppression — every document except non-canonical cluster
+    members (each near-dup cluster keeps its min doc_id; documents
+    with no near-dup edges pass through untouched, which the left
+    anti-join encodes without ever materializing the singleton set).
+
+    This is the query a user actually ships to training: pairs →
+    clusters → keep-list → filtered corpus, end to end. One extra
+    anti-join over `dedup_cluster_assignment`; at 100 TB the drop-list
+    (cluster members minus representatives ≈ the duplicate fraction)
+    is far smaller than the corpus and broadcast-eligible."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_cluster_assignment(spark, sf_dir)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
+
+
+@register(
     "dedup_simhash_hamming_pairs",
     oracle=f"""
     WITH sim AS ({_oracle_simhash()})

@@ -154,7 +154,11 @@ _NESTED_LOOP_OK = {
     "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
 }
 
-_SLOW = {"dedup_cluster_assignment", "streaming_hourly_rollup"}  # iterative / streaming
+_SLOW = {
+    "dedup_cluster_assignment",
+    "dedup_canonical_corpus",  # embeds the same eager CC iteration
+    "streaming_hourly_rollup",
+}  # iterative / streaming
 
 
 def test_no_accidental_cartesian_plans(spark, queries):
