@@ -49,9 +49,21 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
-K_CELLS = 8  # clusters; production: k ∝ n so |cell| stays bounded
+K_CELLS = 8  # minimum cluster count (floor of the derived k)
+TARGET_CELL = 64  # target vectors per cell; k grows ∝ n above the floor
 N_ITERS = 3  # fixed Lloyd's iterations (determinism: no convergence test)
 TAU = 0.4  # within-cluster cosine threshold (matches dedup_embedding_cosine_pairs)
+
+
+def derive_k(n: int) -> int:
+    """k ∝ n with a floor: ``max(K_CELLS, n // TARGET_CELL)``. Keeping
+    cell size bounded at ~TARGET_CELL is what holds the within-cluster
+    pair stage at Σ|cell|² ≈ n·TARGET_CELL — linear in n — instead of
+    the n²/k degradation a fixed k suffers at 100× data. The oracle
+    computes the identical expression in SQL (``GREATEST``/``//`` are
+    floor semantics in both engines for positive operands), so the
+    registered query and its oracle always agree on k at any SF."""
+    return max(K_CELLS, n // TARGET_CELL)
 
 
 def _d2_sql(v: str, c: str) -> str:
@@ -64,13 +76,25 @@ def _d2_sql(v: str, c: str) -> str:
     )
 
 
-def _oracle_semantic(k: int = K_CELLS, iters: int = N_ITERS, tau: float = TAU) -> str:
-    """Chained-CTE replay of the deterministic Lloyd's iterations."""
+def _oracle_semantic(
+    k: int | None = None, iters: int = N_ITERS, tau: float = TAU
+) -> str:
+    """Chained-CTE replay of the deterministic Lloyd's iterations.
+
+    ``k=None`` (the registered default) derives k from the corpus size
+    inside the SQL itself — ``GREATEST(K_CELLS, COUNT(*) // TARGET_CELL)``
+    as a scalar-subquery LIMIT — so the oracle tracks ``derive_k`` at
+    every scale factor without regeneration."""
+    limit = (
+        str(k)
+        if k is not None
+        else f"(SELECT GREATEST({K_CELLS}, COUNT(*) // {TARGET_CELL}) FROM embeddings)"
+    )
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cent
-        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k}))""",
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {limit}))""",
     ]
     for t in range(1, iters + 1):
         ctes.append(
@@ -174,7 +198,12 @@ def semantic_dedup(
     # `base` feeds every iteration's assignment; `nm` feeds both sides
     # of the pair join plus the final projection.
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
-    init_w = Window.orderBy("vec_id")
+    # Constant partition key: this window numbers only the k LIMIT'd
+    # centroid seed rows (driver-bounded), but an unpartitioned Window
+    # logs the scary `WindowExec: No Partition Defined` warning — keep
+    # the log clean so REAL single-partition regressions stay visible.
+    # partitionBy(lit(0)) over one partition is numbering-identical.
+    init_w = Window.partitionBy(F.lit(0)).orderBy("vec_id")
     centroids = (
         base.orderBy("vec_id")
         .limit(k)
@@ -213,13 +242,20 @@ def semantic_dedup(
 
 @register("semantic_dedup_embeddings", oracle=_oracle_semantic())
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: deterministic k-means (k=8, 3 iterations) over the
-    embedding table, then mark each vector a semantic duplicate if a
-    lower-id vector in the SAME cluster has cosine ≥ 0.4 with it.
-    Returns (vec_id, cell_id, is_semantic_dup) for every vector.
+    """SemDeDup: deterministic k-means (k = max(8, n//64) — derived
+    from the corpus size, 3 iterations) over the embedding table, then
+    mark each vector a semantic duplicate if a lower-id vector in the
+    SAME cluster has cosine ≥ 0.4 with it. Returns
+    (vec_id, cell_id, is_semantic_dup) for every vector.
 
     The within-cluster pair scan is the SemDeDup trick: candidate pairs
     are bounded by Σ|cell|² instead of n², and clusters are independent
     so the pair stage parallelizes per cell with no cross-cell data
-    movement."""
-    return semantic_dedup(spark, load_table(spark, sf_dir, "embeddings"))
+    movement. Deriving k ∝ n keeps |cell| ≈ TARGET_CELL constant as the
+    corpus grows, so the pair bound stays LINEAR in n — the same k
+    policy the scale probe measured (docs/SCALING.md); the oracle's
+    scalar-subquery LIMIT computes the identical k, so query and oracle
+    agree at any SF. The n-count that feeds k is one parquet metadata
+    scan — negligible against the 3 Lloyd's passes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(spark, emb, k=derive_k(emb.count()))

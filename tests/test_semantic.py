@@ -35,13 +35,13 @@ def _vectors(spark):
 
 
 def test_semantic_partition_structure(spark, semantic_result):
-    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import K_CELLS
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import derive_k
 
     vecs = _vectors(spark)
     ids = [r["vec_id"] for r in semantic_result]
     assert sorted(ids) == sorted(vecs)  # exactly one row per vector
     cells = {r["cell_id"] for r in semantic_result}
-    assert cells <= set(range(K_CELLS))
+    assert cells <= set(range(derive_k(len(vecs))))
     assert len(cells) > 1  # k-means actually split the corpus
 
 
