@@ -127,8 +127,11 @@ def token_stats_arrow(docs: DataFrame) -> DataFrame:
     zero-copy Arrow compute or to feed an Arrow-native library
     (tokenizers, DataFusion, polars) directly. Computes (doc_id,
     n_tokens) per document with pyarrow compute kernels only. JVM twin:
-    ``size(filter(split(text, ' '), t -> t != ''))``; tests pin them
-    row-identical."""
+    ``size(filter(split(coalesce(text, ''), ' '), t -> t != ''))``;
+    tests pin them row-identical. NULL text is coalesced to '' BEFORE
+    the Python boundary (n_tokens=0) — without it the twins diverge on
+    null input: pyarrow drops null list rows (→ 0) while the bare JVM
+    ``size`` of a null array returns -1."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -156,6 +159,6 @@ def token_stats_arrow(docs: DataFrame) -> DataFrame:
                 [batch.column("doc_id"), n], names=["doc_id", "n_tokens"]
             )
 
-    return docs.select("doc_id", "text").mapInArrow(
-        batch_stats, schema="doc_id bigint, n_tokens int"
-    )
+    return docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).mapInArrow(batch_stats, schema="doc_id bigint, n_tokens int")

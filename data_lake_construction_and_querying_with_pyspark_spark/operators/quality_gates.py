@@ -80,13 +80,28 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_rows.unionByName(fk_violations)
 
 
+def _cell_repr(c: str) -> F.Column:
+    """Collision-free rendering of one compared cell: NULL → NUL byte
+    (keeps its slot — concat_ws would silently drop it, so a value
+    shifting between columns would hash identically), non-NULL →
+    length-prefixed string (a prefix code, so a value containing the
+    '|' delimiter cannot collide across column boundaries)."""
+    s = F.col(c).cast("string")
+    return F.when(s.isNull(), F.lit("\x00")).otherwise(
+        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+    )
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
 ) -> DataFrame:
     """Generic keyed snapshot diff: (key, change_type) for every row
     that was added, removed, or whose compared columns changed, via one
-    full-outer join on the key and an md5 content-hash compare."""
-    content = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols]))
+    full-outer join on the key and an md5 content-hash compare. The
+    hash input is a null-safe, position-preserving prefix code
+    (``_cell_repr``), so (s='a', v=NULL) vs (s=NULL, v='a') and
+    delimiter-containing values all hash distinctly."""
+    content = F.md5(F.concat_ws("|", *[_cell_repr(c) for c in compare_cols]))
     o = old.select(F.col(key).alias("k"), content.alias("old_hash"))
     n = new.select(F.col(key).alias("k"), content.alias("new_hash"))
     joined = o.join(n, "k", "full_outer")
@@ -101,20 +116,30 @@ def snapshot_diff(
     )
 
 
+def _sql_cell_repr(s: str) -> str:
+    """DuckDB twin of ``_cell_repr``: NULL → chr(0), else length-prefixed."""
+    return (
+        f"CASE WHEN {s} IS NULL THEN chr(0)"
+        f" ELSE CAST(length({s}) AS VARCHAR) || ':' || {s} END"
+    )
+
+
 @register(
     "snapshot_diff_orders",
-    oracle="""
+    oracle=f"""
     WITH old AS (
         SELECT o_orderkey AS k,
-               md5(concat_ws('|', CAST(o_totalprice AS VARCHAR), o_orderstatus)) AS h
+               md5(concat_ws('|',
+                   {_sql_cell_repr("CAST(o_totalprice AS VARCHAR)")},
+                   {_sql_cell_repr("o_orderstatus")})) AS h
         FROM orders WHERE o_orderkey % 103 <> 1
     ),
     new AS (
         SELECT o_orderkey AS k,
                md5(concat_ws('|',
-                   CAST(CASE WHEN o_orderkey % 97 = 0
-                             THEN o_totalprice + 10.0 ELSE o_totalprice END AS VARCHAR),
-                   o_orderstatus)) AS h
+                   {_sql_cell_repr('''CAST(CASE WHEN o_orderkey % 97 = 0
+                             THEN o_totalprice + 10.0 ELSE o_totalprice END AS VARCHAR)''')},
+                   {_sql_cell_repr("o_orderstatus")})) AS h
         FROM orders WHERE o_orderkey % 101 <> 0
     )
     SELECT COALESCE(old.k, new.k) AS o_orderkey,

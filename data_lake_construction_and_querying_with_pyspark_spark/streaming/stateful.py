@@ -56,17 +56,15 @@ ALERT_SCHEMA = T.StructType(
 )
 
 
-def cusum_drift_alerts(
-    events: DataFrame,
-    target: float = CUSUM_TARGET,
-    threshold: float = CUSUM_THRESHOLD,
-) -> DataFrame:
-    """Per-event-type CUSUM alerts over the ``value`` column.
-
-    Emits one row per threshold crossing: the event's timestamp, the
-    cumulative sum at crossing, and how many events accumulated since
-    the last reset. State (S, n) lives in a typed ValueState.
-    """
+def make_cusum_processor(
+    target: float = CUSUM_TARGET, threshold: float = CUSUM_THRESHOLD
+):
+    """Build the CUSUM ``StatefulProcessor`` instance. Exposed as a
+    factory (rather than a class nested in ``cusum_drift_alerts``) so a
+    unit test can drive ``init``/``handleInputRows`` directly against a
+    stub state handle — exercising the state round-trip, ``key[0]``
+    extraction, alert emission, and post-alert reset without the JVM
+    state server this container's missing protobuf can't start."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
@@ -98,8 +96,22 @@ def cusum_drift_alerts(
         def close(self) -> None:
             pass
 
+    return CusumProcessor()
+
+
+def cusum_drift_alerts(
+    events: DataFrame,
+    target: float = CUSUM_TARGET,
+    threshold: float = CUSUM_THRESHOLD,
+) -> DataFrame:
+    """Per-event-type CUSUM alerts over the ``value`` column.
+
+    Emits one row per threshold crossing: the event's timestamp, the
+    cumulative sum at crossing, and how many events accumulated since
+    the last reset. State (S, n) lives in a typed ValueState.
+    """
     return events.groupBy("event_type").transformWithStateInPandas(
-        statefulProcessor=CusumProcessor(),
+        statefulProcessor=make_cusum_processor(target, threshold),
         outputStructType=ALERT_SCHEMA,
         outputMode="append",
         timeMode="none",

@@ -116,9 +116,7 @@ def test_merge_upsert_staging_never_corrupts_target(spark, tmp_path):
 
 def test_snapshot_diff_core_classifies_changes(spark):
     """Generic keyed snapshot diff: identical snapshots diff empty;
-    added / removed / changed keys classify exactly; null and empty
-    string hash differently (concat_ws drops nulls but the cast
-    preserves the distinction via column position)."""
+    added / removed / changed keys classify exactly."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.quality_gates import (
         snapshot_diff,
     )
@@ -133,3 +131,27 @@ def test_snapshot_diff_core_classifies_changes(spark):
     )
     got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_shift_and_delimiter_injection(spark):
+    """The content hash must be null-safe and delimiter-safe: a value
+    moving between columns with a NULL swap — (s='a', v=NULL) →
+    (s=NULL, v='a') — is a CHANGE (plain concat_ws would render both as
+    'a' and miss it), and a '|' inside a value must not collide with
+    the column delimiter ((s='a|b', v='c') vs (s='a', v='b|c'))."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.quality_gates import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "a|b", "c"), (3, None, None)],
+        "k int, s string, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", "b|c"), (3, "", "")],
+        "k int, s string, v string",
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "changed"}
+    # and identical rows (including NULLs) still hash equal
+    assert snapshot_diff(old, old, "k", ["s", "v"]).count() == 0

@@ -226,3 +226,72 @@ def test_cusum_alerts_match_reference_replay(spark, tmp_path_factory):
     want_t = sorted((e, ts, round(s, 9), n) for e, ts, s, n in want)
     assert len(got_t) > 0  # the fixture actually drifts past the threshold
     assert got_t == want_t
+
+
+def test_cusum_processor_direct_drive_with_stub_state():
+    """Drive CusumProcessor.init/handleInputRows directly with a stub
+    state handle — no JVM state server, so this runs even where
+    protobuf blocks transformWithState. Exercises: state round-trip
+    (carry-over between calls), key[0] extraction, alert emission at
+    the crossing row, and the post-alert (s, n) reset."""
+    import pandas as pd
+
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.stateful import (
+        cusum_reference,
+        make_cusum_processor,
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, StubValueState())
+
+    proc = make_cusum_processor(target=50.0, threshold=100.0)
+    handle = StubHandle()
+    proc.init(handle)
+
+    def drive(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_id", "value"])
+        out = list(proc.handleInputRows(("click",), iter([pdf]), None))
+        return [tuple(r) for df in out for r in df.itertuples(index=False)]
+
+    # batch 1: +60 drift twice → crosses 100 on the second row, resets
+    got1 = drive([(1, 1, 110.0), (2, 2, 110.0)])
+    assert got1 == [("click", 2, 120.0, 2)]
+    assert handle.states["cusum"].get() == (0.0, 0)  # reset persisted
+
+    # batch 2: state carries across calls — 70 then 40 more crosses again
+    got2 = drive([(3, 3, 120.0)])
+    assert got2 == []
+    assert handle.states["cusum"].get() == (70.0, 1)
+    got3 = drive([(4, 4, 90.0)])
+    assert got3 == [("click", 4, 110.0, 2)]
+
+    # unsorted batch input is processed in (ts, event_id) order,
+    # matching the pure-python reference replay on the sorted rows
+    proc2 = make_cusum_processor(target=50.0, threshold=100.0)
+    h2 = StubHandle()
+    proc2.init(h2)
+    rows = [(5, 9, 120.0), (3, 1, 10.0), (4, 2, 140.0)]
+    pdf = pd.DataFrame(rows, columns=["ts", "event_id", "value"])
+    out = list(proc2.handleInputRows(("view",), iter([pdf]), None))
+    got = [tuple(r) for df in out for r in df.itertuples(index=False)]
+    want = cusum_reference(
+        [("view", ts, v) for ts, _, v in sorted(rows)], 50.0, 100.0
+    )
+    assert got == [(e, ts, s, n) for e, ts, s, n in want]

@@ -155,11 +155,15 @@ def test_map_in_arrow_token_stats_matches_jvm(spark):
     )
     from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
-    docs = load_table(spark, SF_SMOKE, "documents")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").unionByName(
+        # null text must agree too (both twins coalesce to '' → 0 tokens)
+        spark.createDataFrame([(990001, None)], "doc_id bigint, text string")
+    )
     got = {r.doc_id: r.n_tokens for r in token_stats_arrow(docs).collect()}
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != "")
     want = {
         r.doc_id: r.n
         for r in docs.select("doc_id", F.size(toks).alias("n")).collect()
     }
     assert got == want
+    assert got[990001] == 0
