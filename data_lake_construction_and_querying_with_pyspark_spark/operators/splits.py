@@ -107,11 +107,17 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", key.alias("k"), F.substring(key, 1, 2).alias("bucket"))
     counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # Constant partition key on the 256-row offsets window: driver-
+    # bounded frame, but unpartitioned windows log `WindowExec: No
+    # Partition Defined` — silence the benign case so genuine
+    # single-partition regressions stand out. Numbering-identical.
     offsets = counts.select(
         "bucket",
         (
             F.sum("n").over(
-                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+                Window.partitionBy(F.lit(0))
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
             )
         ).alias("off"),
     ).fillna({"off": 0})

