@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_near_dup",
     "dedup_embedding_cosine_pairs",
+    "dedup_embedding_cosine_pairs_scaled",
     "dedup_cluster_assignment",
     "semantic_dedup_embeddings",
     "funnel_conversion",

@@ -529,35 +529,41 @@ def embedding_cosine_pairs_scaled(
     n_planes: int = 16,
 ) -> DataFrame:
     """Embedding near-dup pairs with n-SCALED band selectivity — the
-    production configuration of ``dedup_embedding_cosine_pairs``.
+    production configuration of the embedding dedup ladder, registered
+    (with planted ground truth) as ``dedup_embedding_cosine_pairs_scaled``.
 
-    The registered query keeps a fixed 8-band × 8-sign-bit geometry so
-    its DuckDB oracle can replay the code construction bit-identically;
-    but 256 keys per band saturate as the corpus grows, and candidates
-    ∝ Σ bucket² go superlinear (measured 23 s → 412 s for a 2× corpus,
-    docs/SCALING.md). This variant generates candidates from
-    ``similarity.lsh_multi_buckets`` random-hyperplane tables, where
+    The fixed-geometry demo keeps an 8-band × 8-sign-bit code so its
+    oracle stays compact; but 256 keys per band saturate as the corpus
+    grows, and candidates ∝ Σ bucket² go superlinear (measured
+    23 s → 412 s for a 2× corpus, docs/SCALING.md). This variant
+    generates candidates from seeded random-hyperplane tables, where
     bits-per-table grows with log n (16 bits ⇒ 65 536 keys) — measured
     SUBLINEAR on the same corpus (16.6 s → 23.9 s for 2×) with perfect
     planted-pair recovery at the production threshold. Same exact-
-    cosine verify; recall is probabilistic (hyperplane constants are
-    seeded-LCG), hence library function + probe, not an oracle query.
+    cosine verify. The deterministic LCG hyperplanes replay in the
+    registered entry's DuckDB oracle as double literals, so even the
+    probabilistic recall is cross-engine identical.
     """
     from pyspark import StorageLevel
 
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
         dot,
-        lsh_multi_buckets,
+        lsh_multi_buckets_flat,
         with_norm,
     )
 
-    e = lsh_multi_buckets(with_norm(emb), n_tables=n_tables, n_planes=n_planes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    flat = e.select("vec_id", "v", "norm", F.explode("buckets").alias("tb"))
+    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    # Flat (vec_id, tbl, bucket) rows from the data-driven plane table:
+    # bit-identical buckets to the expression form, but plan build is
+    # milliseconds instead of ~10 s of py4j/Catalyst literal plumbing
+    # (see lsh_multi_buckets_flat). Persisted: both sides of the
+    # candidate self-join read it.
+    flat = lsh_multi_buckets_flat(
+        e, n_tables=n_tables, n_planes=n_planes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         flat.alias("a")
-        .join(flat.alias("b"), F.col("a.tb") == F.col("b.tb"))
+        .join(flat.alias("b"), ["tbl", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
