@@ -240,6 +240,137 @@ def semantic_dedup(
     )
 
 
+IVF_MIN_CELLS = 16  # floor of the derived IVF cell count
+IVF_ITERS = 2  # Lloyd's iterations for the coarse quantizer
+IVF_NPROBE = 2  # cells probed per query
+IVF_N_QUERIES = 5  # vec_id < 5 are the demo query vectors (as knn_brute_force)
+IVF_TOP_K = 10
+
+
+def _oracle_ivf() -> str:
+    """Chained-CTE DuckDB replay of the deterministic IVF: the same
+    Lloyd's CTE chain as the SemDeDup oracle (k derived in SQL), then
+    per-query nprobe nearest cells by the identical d2 expression, and
+    exact-cosine top-k inside the probed cells only."""
+    limit = f"(SELECT GREATEST({IVF_MIN_CELLS}, COUNT(*) // {TARGET_CELL}) FROM embeddings)"
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cent
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {limit}))""",
+    ]
+    for t in range(1, IVF_ITERS + 1):
+        ctes.append(
+            f"""a{t} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT q.vec_id, q.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_d2_sql('q.v', 'c.cent')}, c.cell) AS rn
+                FROM v q, c{t - 1} c) WHERE rn = 1)"""
+        )
+        if t < IVF_ITERS:
+            ctes.append(
+                f"""c{t} AS (
+                SELECT cell, list(m ORDER BY pos) AS cent FROM (
+                    SELECT cell, pos,
+                           CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+                    FROM (SELECT cell, generate_subscripts(v,1) AS pos, unnest(v) AS val
+                          FROM a{t})
+                    GROUP BY cell, pos) GROUP BY cell)"""
+            )
+    return f"""
+    WITH {','.join(ctes)},
+    nm AS (SELECT vec_id, v, cell,
+                  sqrt(list_dot_product(v, v)) AS norm FROM a{IVF_ITERS}),
+    q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+          FROM nm WHERE vec_id < {IVF_N_QUERIES}),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_d2_sql('q.qv', 'c.cent')}, c.cell) AS crn
+            FROM q, c{IVF_ITERS - 1} c) WHERE crn <= {IVF_NPROBE}),
+    scored AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, n.v) / (q.qnorm * n.norm) DESC,
+                            n.vec_id) AS rn
+        FROM probes p
+        JOIN nm n ON n.cell = p.cell
+        JOIN q ON q.query_id = p.query_id
+        WHERE n.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, rn FROM scored WHERE rn <= {IVF_TOP_K}
+    """
+
+
+@register("knn_ivf_deterministic", oracle=_oracle_ivf())
+def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via a DETERMINISTIC IVF coarse quantizer — the
+    similarity-search scale path with an exact DuckDB oracle (the
+    engine-seeded ``knn_ivf_probe`` twin is rows-only; here the
+    quantizer is the same deterministic decimal-exact Lloyd's machinery
+    as SemDeDup, so both engines derive identical cells, identical
+    probes, and identical top-k).
+
+    Index build: k = max(16, n // 64) cells, 2 Lloyd's iterations.
+    Query: each of the 5 demo vectors probes its IVF_NPROBE=2 nearest
+    centroids (same d2 expression + cell tie-break both engines) and
+    exact-cosine-reranks only those cells — ~nprobe/k of the corpus
+    scanned per query instead of a full pass.
+
+    Scale shape: assignment is corpus × broadcast(k centroids) with a
+    map-side min_by argmin (no n·k shuffle); the probe table is
+    queries × nprobe rows, broadcast into an equi-join on cell_id; at
+    100 TB write the corpus partitioned by cell_id so each query reads
+    nprobe partitions (partition pruning does the cell restriction for
+    free)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(IVF_MIN_CELLS, emb.count() // TARGET_CELL)
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    init_w = Window.partitionBy(F.lit(0)).orderBy("vec_id")
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
+            F.col("v").alias("cent"),
+        )
+    )
+    assigned = None
+    for t in range(1, IVF_ITERS + 1):
+        assigned = kmeans_assign(base, centroids)
+        if t < IVF_ITERS:
+            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+    # `centroids` is now the table that produced the final assignment
+    # (c_{iters-1}) — probing must use the same one the cells came from.
+    nm = assigned.withColumn("norm", F.sqrt(dot("v", "v"))).persist()
+    q = nm.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    d2 = dot("qv", "qv") - F.lit(2) * dot("qv", "cent") + dot("cent", "cent")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "qnorm", "cell", d2.alias("cd2"))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= IVF_NPROBE)
+        .select("query_id", "qv", "qnorm", "cell")
+    )
+    cosine = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(nm, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+    )
+
+
 @register("semantic_dedup_embeddings", oracle=_oracle_semantic())
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: deterministic k-means (k = max(8, n//64) — derived

@@ -117,6 +117,7 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "sales_opportunity_q22",
     # -- new in round 3 --
     "dedup_embedding_cosine_pairs_scaled",
+    "knn_ivf_deterministic",
     # -- r2-green sentinels (regression tripwires, one per subsystem) --
     "dedup_exact_documents",
     "dedup_minhash_near_dup",
@@ -128,7 +129,6 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "flagship_between",
     "pricing_summary",
     "join_fact_fact_revenue",
-    "window_topk_per_customer",
 )
 
 

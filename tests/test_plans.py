@@ -149,6 +149,8 @@ _NESTED_LOOP_OK = {
     "knn_lsh_bucketed",  # broadcast query side
     "funnel_conversion",  # 1-row × 1-row count cross joins
     "knn_ivf_probe",  # query × 16-centroid broadcast distance table
+    "knn_ivf_deterministic",  # Lloyd's assign + query × broadcast centroid probes
+    "dedup_embedding_cosine_pairs_scaled",  # corpus × broadcast 128-row plane table
     "join_key_skew_profile",  # keys × broadcast 1-row total
     "semantic_dedup_embeddings",  # corpus × broadcast k-centroid table (Lloyd's assign)
     "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
