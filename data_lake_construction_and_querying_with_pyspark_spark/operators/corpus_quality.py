@@ -465,3 +465,106 @@ def source_mix_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mix_rank") <= quota)
         .select("doc_id", "source", F.col("mix_rank").cast("int").alias("mix_rank"))
     )
+
+
+# --- Gopher-style rule filter pack -----------------------------------------
+
+# Thresholds follow the published Gopher/MassiveText heuristics
+# (Rae et al. 2021, arXiv:2112.11446 §A1.1), re-banded so the synthetic
+# fixture (uniform ~50-token docs over a word vocabulary) exercises
+# both outcomes of each rule instead of trivially passing all docs.
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_MIN_WORDS, _MAX_WORDS = 40, 100_000
+_MIN_MWL, _MAX_MWL = 3.5, 10.0  # mean word length band
+_MIN_ALPHA_FRAC = 0.8  # words containing an alphabetic char
+_MAX_SYMBOL_RATIO = 0.1  # '#'/ellipsis chars per word
+_MIN_STOPS = 2  # distinct required stopwords present
+
+
+@register(
+    "gopher_quality_filters",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                   AS mean_word_len,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                    AS DOUBLE) / len(toks) AS alpha_word_frac,
+               CAST(length(text) - length(replace(replace(text, '#', ''), '…', ''))
+                    AS DOUBLE) / len(toks) AS symbol_ratio,
+               CAST(len(list_filter({list(_GOPHER_STOPWORDS)!r}::VARCHAR[],
+                                    s -> list_contains(toks, s))) AS INT)
+                   AS n_stopwords_present
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+           n_stopwords_present,
+           (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS pass_word_count,
+           (mean_word_len >= {_MIN_MWL} AND mean_word_len <= {_MAX_MWL})
+               AS pass_mean_word_len,
+           (alpha_word_frac >= {_MIN_ALPHA_FRAC}) AS pass_alpha_frac,
+           (symbol_ratio <= {_MAX_SYMBOL_RATIO}) AS pass_symbol_ratio,
+           (n_stopwords_present >= {_MIN_STOPS}) AS pass_stopwords,
+           ((n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+            AND mean_word_len >= {_MIN_MWL} AND mean_word_len <= {_MAX_MWL}
+            AND alpha_word_frac >= {_MIN_ALPHA_FRAC}
+            AND symbol_ratio <= {_MAX_SYMBOL_RATIO}
+            AND n_stopwords_present >= {_MIN_STOPS}) AS keep
+    FROM scored
+    """,
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021, arXiv:2112.11446
+    §A1.1): word-count band, mean-word-length band, alphabetic-word
+    fraction, symbol-to-word ratio, and required-stopword presence,
+    each emitted as its own boolean so downstream reports can attribute
+    WHY a document was dropped (the per-rule loss accounting every
+    production corpus run publishes), plus the conjunctive ``keep``.
+
+    Determinism: every ratio is integer-count / integer-count — one
+    IEEE division, bit-identical across engines; rule outputs are
+    booleans on those exact values.
+
+    Scale: pure per-document projection — zero shuffles, map-side only,
+    embarrassingly parallel at 100 TB; the stopword probe is a
+    7-literal array membership test, not a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_words = F.size(toks)
+    no_space = F.regexp_replace(F.col("text"), " ", "")
+    mean_wl = F.length(no_space).cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    n_symbols = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "#", ""), "…", "")
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stops = F.size(F.filter(stops, lambda s: F.array_contains(toks, s))).cast("int")
+
+    scored = docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stops.alias("n_stopwords_present"),
+    )
+    p_wc = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    p_mwl = (F.col("mean_word_len") >= _MIN_MWL) & (F.col("mean_word_len") <= _MAX_MWL)
+    p_alpha = F.col("alpha_word_frac") >= _MIN_ALPHA_FRAC
+    p_sym = F.col("symbol_ratio") <= _MAX_SYMBOL_RATIO
+    p_stop = F.col("n_stopwords_present") >= _MIN_STOPS
+    return scored.select(
+        "*",
+        p_wc.alias("pass_word_count"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_alpha.alias("pass_alpha_frac"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_stop.alias("pass_stopwords"),
+        (p_wc & p_mwl & p_alpha & p_sym & p_stop).alias("keep"),
+    )

@@ -154,6 +154,8 @@ _NESTED_LOOP_OK = {
     "join_key_skew_profile",  # keys × broadcast 1-row total
     "semantic_dedup_embeddings",  # corpus × broadcast k-centroid table (Lloyd's assign)
     "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
+    "bm25_topk_documents",  # postings × broadcast 1-row corpus stats
+    "tfidf_top_terms_per_doc",  # postings × broadcast 1-row doc count
 }
 
 _SLOW = {
