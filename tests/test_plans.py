@@ -361,3 +361,37 @@ def test_q15_scalar_max_is_one_row_job(spark, queries):
 
     plan = _plan(queries["top_supplier_q15"](spark, SF_SMOKE))
     assert len(set(re.findall(r"Subquery (subquery#\d+)", plan))) == 1, plan
+
+
+def test_bm25_topk_never_global_sorts(spark, queries):
+    """BM25 top-20: the final k rows come from TakeOrderedAndProject
+    (per-partition heap + driver merge), never a global Sort, and the
+    3-term query table broadcasts onto the postings instead of
+    shuffling the exploded corpus."""
+    plan = _plan(queries["bm25_topk_documents"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the exploded token stream must never hash-shuffle on token content
+    # to meet the query terms — only doc_id/term aggregates may exchange
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gopher_filters_zero_shuffle(spark, queries):
+    """The Gopher rule pack is a pure per-document projection: no
+    Exchange of any kind — the 100 TB cost is exactly one scan."""
+    plan = _plan(queries["gopher_quality_filters"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_tfidf_window_partitioned_by_doc(spark, queries):
+    """Per-doc term ranking windows over doc_id partitions (parallel at
+    any scale), never an unpartitioned window."""
+    plan = _plan(queries["tfidf_top_terms_per_doc"](spark, SF_SMOKE))
+    assert "Window [" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    # rank<=3 must push into the shuffle as a WindowGroupLimit (partial
+    # top-3 per map task), so the doc_id exchange carries ≤3 rows/doc
+    assert "WindowGroupLimit" in plan, plan
+    # the only SinglePartition exchange allowed is the 1-row corpus count
+    assert plan.count("Exchange SinglePartition") <= 1, plan
