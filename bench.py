@@ -40,6 +40,7 @@ HEADLINE = [
     "funnel_conversion",
     "text_quality_scores",
     "knn_brute_force",
+    "bm25_topk_documents",  # added r3: lexical retrieval family
 ]
 
 
