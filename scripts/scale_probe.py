@@ -122,6 +122,9 @@ _PROBE_OPS = [
     "knn_brute_force",
     "train_val_test_split",
     "deterministic_shuffle",
+    "bm25_topk_documents",
+    "tfidf_top_terms_per_doc",
+    "gopher_quality_filters",
 ]
 
 
@@ -133,7 +136,14 @@ def main() -> None:
     from data_lake_construction_and_querying_with_pyspark_spark import get_spark
     from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
 
-    spark = get_spark(app_name="scale_probe")
+    # At n ≥ 1M the exploded shingle index wants more reducers than the
+    # thread-count default (32 partitions × ~4M rows spill); the knob a
+    # real cluster sets via AQE target size is exposed here as an env.
+    shuffle = os.environ.get("SCALE_PROBE_SHUFFLE")
+    spark = get_spark(
+        app_name="scale_probe",
+        shuffle_partitions=int(shuffle) if shuffle else None,
+    )
     qs = all_queries()
 
     docs_path = f"{out}/documents.parquet"
