@@ -202,8 +202,10 @@ def semantic_dedup(
     # centroid seed rows (driver-bounded), but an unpartitioned Window
     # logs the scary `WindowExec: No Partition Defined` warning — keep
     # the log clean so REAL single-partition regressions stay visible.
-    # partitionBy(lit(0)) over one partition is numbering-identical.
-    init_w = Window.partitionBy(F.lit(0)).orderBy("vec_id")
+    # The key must be NON-FOLDABLE (Spark 4's EliminateWindowPartitions
+    # strips literals back out): an empty substring of the id column is
+    # constant-valued but survives, numbering-identical.
+    init_w = Window.partitionBy(F.substring(F.col("vec_id").cast("string"), 1, 0)).orderBy("vec_id")
     centroids = (
         base.orderBy("vec_id")
         .limit(k)
@@ -328,7 +330,7 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(IVF_MIN_CELLS, emb.count() // TARGET_CELL)
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
-    init_w = Window.partitionBy(F.lit(0)).orderBy("vec_id")
+    init_w = Window.partitionBy(F.substring(F.col("vec_id").cast("string"), 1, 0)).orderBy("vec_id")
     centroids = (
         base.orderBy("vec_id")
         .limit(k)

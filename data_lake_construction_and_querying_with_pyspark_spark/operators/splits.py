@@ -111,11 +111,14 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded frame, but unpartitioned windows log `WindowExec: No
     # Partition Defined` — silence the benign case so genuine
     # single-partition regressions stand out. Numbering-identical.
+    # (Must be NON-FOLDABLE: Spark 4's EliminateWindowPartitions strips
+    # a literal key back out and the warning returns; an empty
+    # substring of a real column is constant-valued but survives.)
     offsets = counts.select(
         "bucket",
         (
             F.sum("n").over(
-                Window.partitionBy(F.lit(0))
+                Window.partitionBy(F.substring(F.col("bucket"), 1, 0))
                 .orderBy("bucket")
                 .rowsBetween(Window.unboundedPreceding, -1)
             )

@@ -206,6 +206,20 @@ COMMENTARY = {
         "array of struct literals over the 1-row aggregate — the "
         "6-scan UNION ALL the oracle runs is exactly what this avoids."
     ),
+    "bm25_topk_documents": (
+        "Inverted-index retrieval: the 3-row query-term table is a "
+        "BroadcastHashJoin onto the exploded postings (the corpus never "
+        "shuffles on token content), df/length statistics are tiny keyed "
+        "aggregates broadcast back, per-term contributions are "
+        "DECIMAL(20,12) before the per-doc SUM, and the final top-20 is "
+        "TakeOrderedAndProject — per-partition heaps, no global sort."
+    ),
+    "gopher_quality_filters": (
+        "The whole Gopher rule pack is ONE map-side projection: no "
+        "Exchange anywhere in the plan, every ratio an integer-count "
+        "division, rule booleans computed in the same codegen stage as "
+        "the scan. At 100 TB the cost is exactly one pass over text."
+    ),
 }
 
 
