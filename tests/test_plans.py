@@ -156,6 +156,7 @@ _NESTED_LOOP_OK = {
     "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
     "bm25_topk_documents",  # postings × broadcast 1-row corpus stats
     "tfidf_top_terms_per_doc",  # postings × broadcast 1-row doc count
+    "pagerank_trade_network",  # rank table × broadcast 1-row node-count/dangling-mass
 }
 
 _SLOW = {
