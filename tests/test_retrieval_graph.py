@@ -1,0 +1,112 @@
+"""Behavioral invariants for the retrieval and graph operators —
+properties the DuckDB oracle equality can't express (it would be
+satisfied by an identically-wrong pair)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
+
+    return all_queries()
+
+
+def test_pagerank_is_a_probability_distribution(spark, queries):
+    """Teleport + damping + dangling-mass redistribution conserve rank
+    mass exactly: the ranks must sum to 1 at every corpus size (the
+    invariant that breaks first if dangling handling is dropped or an
+    edge normalization double-counts)."""
+    df = queries["pagerank_trade_network"](spark, SF_SMOKE)
+    total = df.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9, total
+    rows = df.collect()
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_pagerank_rewards_inflow(spark, queries):
+    """A node's rank exceeds the teleport floor iff it has inbound
+    weight; with every nation trading, all ranks sit strictly above
+    0.15/N."""
+    df = queries["pagerank_trade_network"](spark, SF_SMOKE)
+    n = df.count()
+    floor = 0.15 / n
+    assert df.filter(F.col("pagerank") <= floor).count() == 0
+
+
+def test_bm25_results_contain_query_terms(spark, queries):
+    """Every returned document matches at least one query term (BM25
+    never scores a term-free document), scores are positive, and the
+    result respects the k cap."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.retrieval import (
+        _QUERY_TERMS,
+        _TOPK,
+    )
+
+    res = queries["bm25_topk_documents"](spark, SF_SMOKE)
+    rows = res.collect()
+    assert 0 < len(rows) <= _TOPK
+    assert all(r.bm25_score > 0 for r in rows)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    joined = (
+        docs.join(res, "doc_id")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split("text", " ")),
+                    F.array(*[F.lit(t) for t in _QUERY_TERMS]),
+                )
+            ).alias("hits")
+        )
+        .collect()
+    )
+    assert all(r.hits >= 1 for r in joined)
+
+
+def test_bm25_score_monotone_in_rank_order(spark, queries):
+    """Collected in plan order the scores are non-increasing — the
+    TakeOrderedAndProject ordering survives into the result."""
+    res = queries["bm25_topk_documents"](spark, SF_SMOKE).collect()
+    scores = [r.bm25_score for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_tfidf_ranks_are_dense_per_doc(spark, queries):
+    """Each document gets term_rank 1..min(3, distinct terms) with no
+    gaps and no duplicate ranks."""
+    res = queries["tfidf_top_terms_per_doc"](spark, SF_SMOKE)
+    bad = (
+        res.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("term_rank").alias("mx"),
+            F.count_distinct("term_rank").alias("nd"),
+        )
+        .filter((F.col("mx") != F.col("n")) | (F.col("nd") != F.col("n")) | (F.col("n") > 3))
+    )
+    assert bad.count() == 0
+
+
+def test_gopher_keep_is_conjunction_of_rules(spark, queries):
+    """keep == AND of the five rule booleans, row by row, and at least
+    one rule actually discriminates on the fixture (both outcomes
+    present) so the pack isn't vacuous."""
+    res = queries["gopher_quality_filters"](spark, SF_SMOKE)
+    rules = [
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_alpha_frac",
+        "pass_symbol_ratio",
+        "pass_stopwords",
+    ]
+    conj = F.lit(True)
+    for r in rules:
+        conj = conj & F.col(r)
+    assert res.filter(F.col("keep") != conj).count() == 0
+    outcomes = res.select("keep").distinct().count()
+    assert outcomes == 2, "fixture should exercise both keep outcomes"
