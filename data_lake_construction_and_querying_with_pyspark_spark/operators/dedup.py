@@ -27,7 +27,7 @@ cross join the oracle uses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
@@ -904,3 +904,121 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= 3)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+# --- Cross-document repeated-span extraction (exact-substring dedup) -------
+
+_SPAN_K = 5  # tokens per positional shingle
+_SPAN_MIN_DF = 2  # a span is boilerplate when ≥ this many docs carry it
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(i AS INT) AS p,
+               array_to_string(toks[i:i+{_SPAN_K - 1}], ' ') AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - {_SPAN_K - 1}))
+                   AS t(i)
+    ),
+    dfreq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY s),
+    hits AS (
+        SELECT doc_id, p FROM pos JOIN dfreq USING (s)
+        WHERE df >= {_SPAN_MIN_DF}
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN MAX(p) OVER w IS NULL
+                      OR p > MAX(p) OVER w + {_SPAN_K}
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grp AS (
+        SELECT doc_id, p,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    )
+    SELECT doc_id, CAST(MIN(p) AS INT) AS span_start,
+           CAST(MAX(p) + {_SPAN_K - 1} AS INT) AS span_end,
+           COUNT(*) AS n_shingle_hits
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-PASSAGE extraction — the span-level
+    exact-substring dedup of Lee et al. 2021 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed with a positional shingle index instead of a suffix
+    array: every 5-token span occurring in ≥2 DISTINCT documents is
+    boilerplate (licenses, headers, templated text), and overlapping /
+    adjacent flagged spans merge into maximal extents
+    (doc_id, span_start, span_end, 1-based token positions) that a
+    downstream pass can cut without re-tokenizing.
+
+    Differs from `decontamination_overlap` (cross-SET probe against a
+    tiny benchmark list — broadcast) and `doc_repetition_signals`
+    (WITHIN-doc repetition): here the reference set is the corpus
+    itself, so the document-frequency table is corpus-scale and the
+    probe is a plain equi-join, never a broadcast.
+
+    Determinism: pure integer arithmetic end-to-end (positions, df
+    counts, interval merge) — no floats anywhere, so cross-engine
+    equality is structural.
+
+    Scale shape: positional shingles are a map-side explode (~L rows
+    per doc); the df aggregate and the hit join shuffle on the shingle
+    hash (AQE handles the skew of globally-common spans — exactly the
+    keys `join_key_skew_profile` surfaces); the interval merge is two
+    windows partitioned by doc_id — parallel at any corpus size. A
+    suffix array finds repeats of ANY length but needs a global sort;
+    the fixed-K shingle relaxation is the standard distributed
+    trade-off (longer repeats appear as merged runs of K-grams, which
+    the island merge reconstitutes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    starts = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = toked.select(
+        "doc_id",
+        F.explode(starts).alias("p"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("p").cast("int").alias("p"),
+        F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("s"),
+    )
+    dfreq = pos.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
+    hits = (
+        pos.join(dfreq.filter(F.col("df") >= _SPAN_MIN_DF), "s")
+        .select("doc_id", "p")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("p").over(w_prev)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("p") > prev_max + _SPAN_K), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return grouped.groupBy("doc_id", "island").agg(
+        F.min("p").cast("int").alias("span_start"),
+        (F.max("p") + (_SPAN_K - 1)).cast("int").alias("span_end"),
+        F.count(F.lit(1)).alias("n_shingle_hits"),
+    ).drop("island").select("doc_id", "span_start", "span_end", "n_shingle_hits")

@@ -125,6 +125,7 @@ _PROBE_OPS = [
     "bm25_topk_documents",
     "tfidf_top_terms_per_doc",
     "gopher_quality_filters",
+    "dedup_repeated_spans",
 ]
 
 
