@@ -110,3 +110,29 @@ def test_gopher_keep_is_conjunction_of_rules(spark, queries):
     assert res.filter(F.col("keep") != conj).count() == 0
     outcomes = res.select("keep").distinct().count()
     assert outcomes == 2, "fixture should exercise both keep outcomes"
+
+
+def test_repeated_spans_are_disjoint_maximal_extents(spark, queries):
+    """Per document: spans are non-overlapping AND non-adjacent (an
+    adjacent pair would have merged), each at least the shingle width,
+    inside the document's token range."""
+    res = queries["dedup_repeated_spans"](spark, SF_SMOKE)
+    rows = res.collect()
+    assert rows, "fixture plants shared passages; result must be non-empty"
+    by_doc: dict = {}
+    for r in rows:
+        assert r.span_end - r.span_start + 1 >= 5
+        assert r.span_start >= 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    docs = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        assert spans[-1][1] <= docs[doc_id]
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            # disjoint with a real gap: touching extents would have merged
+            assert s2 > e1 + 1, (doc_id, (s1, e1), (s2, e2))
