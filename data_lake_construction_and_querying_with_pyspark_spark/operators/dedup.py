@@ -995,7 +995,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("p").cast("int").alias("p"),
         F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("s"),
-    )
+    ).persist()  # consumed twice: df aggregate + probe side of the hit join
     dfreq = pos.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
     hits = (
         pos.join(dfreq.filter(F.col("df") >= _SPAN_MIN_DF), "s")
@@ -1021,4 +1021,4 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p").cast("int").alias("span_start"),
         (F.max("p") + (_SPAN_K - 1)).cast("int").alias("span_end"),
         F.count(F.lit(1)).alias("n_shingle_hits"),
-    ).drop("island").select("doc_id", "span_start", "span_end", "n_shingle_hits")
+    ).select("doc_id", "span_start", "span_end", "n_shingle_hits")

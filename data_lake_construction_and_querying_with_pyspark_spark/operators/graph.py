@@ -183,5 +183,12 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("rank"),
             )
+            # Truncate lineage every iteration: ranks feeds BOTH the inflow
+            # join and the dangling anti-join, so without a checkpoint
+            # the previous iteration's subtree is embedded twice and the
+            # plan (and recomputation) doubles per iteration — the same
+            # localCheckpoint contract as dedup_cluster_assignment's
+            # min-label loop. Eager + tiny (|nations| rows).
+            .localCheckpoint()
         )
     return ranks.select("nation", F.col("rank").alias("pagerank"))

@@ -373,8 +373,11 @@ def test_bm25_topk_never_global_sorts(spark, queries):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     # the exploded token stream must never hash-shuffle on token content
-    # to meet the query terms — only doc_id/term aggregates may exchange
+    # to meet the query terms — only doc_id/term aggregates may exchange.
+    # Pin it directly: no exchange keyed on the raw token column (a
+    # ShuffledHash/SortMerge term join would have to create one).
     assert "SortMergeJoin" not in plan, plan
+    assert "hashpartitioning(tok" not in plan, plan
 
 
 def test_gopher_filters_zero_shuffle(spark, queries):
