@@ -995,7 +995,13 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("p").cast("int").alias("p"),
         F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("s"),
-    ).persist()  # consumed twice: df aggregate + probe side of the hit join
+    )
+    # `pos` feeds both the df aggregate and the probe side of the hit
+    # join. Deliberately NOT persisted: the explode is a map-only
+    # codegen pass over compressed parquet, and caching its ~L-per-doc
+    # string rows costs more than recomputing them — measured at the 1M
+    # rung: 170 s recomputed vs 249 s persisted (and 14 s vs 20 s at
+    # 100k). Cache what is expensive to BUILD, not what is wide.
     dfreq = pos.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
     hits = (
         pos.join(dfreq.filter(F.col("df") >= _SPAN_MIN_DF), "s")
