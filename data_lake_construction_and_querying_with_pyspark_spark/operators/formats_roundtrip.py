@@ -29,8 +29,16 @@ from data_lake_construction_and_querying_with_pyspark_spark.registry import regi
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
 
-def _scratch(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), "spark_graft_roundtrip", name)
+def _scratch(name: str, sf_dir: str) -> str:
+    """Scratch path qualified by scale factor AND process: the write is
+    eager while the returned DataFrame reads lazily, so an unqualified
+    shared path would let a second scale factor (or a concurrent
+    session) overwrite the files a still-unconsumed DataFrame points
+    at — silently feeding the wrong rows to the oracle comparison."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_roundtrip", f"{sf_tag}_{os.getpid()}", name
+    )
 
 
 @register(
@@ -47,7 +55,7 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference pass is a second full scan, and sampled inference can
     mis-type sparse columns)."""
     docs = load_table(spark, sf_dir, "documents")
-    path = _scratch("documents_jsonl")
+    path = _scratch("documents_jsonl", sf_dir)
     docs.write.mode("overwrite").json(path)
     return (
         spark.read.schema(docs.schema)
@@ -67,7 +75,7 @@ def orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     and schema preservation, and anchors the format switch the
     reference drives via its job argument (SURVEY.md §2.1 S3)."""
     cust = load_table(spark, sf_dir, "customer")
-    path = _scratch("customer_orc")
+    path = _scratch("customer_orc", sf_dir)
     cust.write.mode("overwrite").orc(path)
     return spark.read.schema(cust.schema).orc(path).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"

@@ -80,7 +80,12 @@ def init_neardup_index(spark: SparkSession, index_dir: str) -> None:
     )
 
 
-def neardup_incremental(spark: SparkSession, batch: DataFrame, index_dir: str) -> DataFrame:
+def neardup_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    pairs_sink=None,
+) -> DataFrame:
     """Near-dup pairs of an incoming batch against the accumulated
     corpus (and within the batch), using the SAME 16-hash / 4-band
     MinHash construction as the batch operator
@@ -147,6 +152,16 @@ def neardup_incremental(spark: SparkSession, batch: DataFrame, index_dir: str) -
         .distinct()
     )
     pairs = verify_jaccard_pairs(cand, inv_all).localCheckpoint()  # before index mutation
+    # Durability ordering for at-least-once callers (foreachBatch): the
+    # pairs must LAND before the index mutation. Once the batch's bands
+    # are appended, a replayed batch anti-joins to nothing and can never
+    # re-discover these pairs — a crash between the two writes would
+    # lose them forever. The sink callback must itself be idempotent
+    # (the streaming sink overwrites a batch-id partition), because a
+    # crash after it runs but before the appends means the same pairs
+    # are recomputed and landed again on replay.
+    if pairs_sink is not None:
+        pairs_sink(pairs)
     inv_new.write.mode("append").parquet(f"{index_dir}/shingles.parquet")
     bands_new.select("band", "band_key", "doc_id").write.mode("append").parquet(
         f"{index_dir}/bands.parquet"

@@ -72,9 +72,16 @@ _ORACLE_TOKS = """
     dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
         SELECT tf.doc_id,
+               -- k1-derived literals are CAST to DOUBLE: DuckDB types a
+               -- bare 2.2 as DECIMAL(2,1), making tf * 2.2 EXACT decimal
+               -- arithmetic — a different value than Spark's double
+               -- multiply (verified: CAST(3*2.2 AS DOUBLE) <> 3.0*2.2e0).
+               -- The binary-exact literals (0.5, 0.25, 0.75) and every
+               -- `/` (always DOUBLE in DuckDB) need no cast.
                CAST(((n_docs - df + 0.5) / (df + 0.5))
-                    * ((tf * {_K1 + 1.0}) /
-                       (tf + {_K1} * (0.25 + 0.75 * (dl / avgdl))))
+                    * ((tf * CAST({_K1 + 1.0} AS DOUBLE)) /
+                       (tf + CAST({_K1} AS DOUBLE)
+                             * (0.25 + 0.75 * (dl / avgdl))))
                     AS DECIMAL(20,12)) AS contrib
         FROM tf JOIN dl ON tf.doc_id = dl.doc_id
                 JOIN dft USING (term), nd, avgdl

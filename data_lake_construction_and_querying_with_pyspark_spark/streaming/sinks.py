@@ -85,10 +85,25 @@ def streaming_neardup_index(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = neardup_incremental(batch_df.sparkSession, batch_df, index_dir)
-        pairs.withColumn("_ingest_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_path)
+        # foreachBatch is at-least-once, so the pairs land through the
+        # pre-index-mutation sink hook (see neardup_incremental's
+        # durability-ordering note) as a batch-id PARTITION with dynamic
+        # overwrite: a replayed batch rewrites its own partition with
+        # identical recomputed rows (idempotent), and a batch already in
+        # the index recomputes an empty frame, which dynamic overwrite
+        # leaves existing partitions untouched by.
+        def land_pairs(pairs: DataFrame) -> None:
+            (
+                pairs.withColumn("_ingest_batch_id", F.lit(batch_id))
+                .write.partitionBy("_ingest_batch_id")
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(pairs_path)
+            )
+
+        neardup_incremental(
+            batch_df.sparkSession, batch_df, index_dir, pairs_sink=land_pairs
+        )
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -131,11 +131,14 @@ def test_streaming_neardup_index_equals_batch(spark, tmp_path):
         for r in dedup_minhash_near_dup(spark, SF_SMOKE).collect()
     }
     assert streamed == batch and len(batch) > 0
-    # multiple micro-batches actually happened
+    # multiple micro-batches EMITTED pairs — if every pair were
+    # intra-batch the cross-batch index-probe path (the sink's whole
+    # point) would be exercised zero times and this test would prove
+    # nothing about it
     n_batches = (
         spark.read.parquet(pairs_path).select("_ingest_batch_id").distinct().count()
     )
-    assert n_batches >= 1
+    assert n_batches >= 2, n_batches
     n_bands = spark.read.parquet(f"{idx}/bands.parquet").count()
 
     # restart on the same checkpoint: no new files → index and pairs unchanged
