@@ -25,6 +25,16 @@ result and a DuckDB result hash-identical):
 * Every top-k / row_number ordering carries a unique tiebreak key.
 * Column aliases are identical in the Spark builder and the SQL
   oracle — the driver sorts columns by name before hashing.
+* DuckDB types a bare ``2.2`` as DECIMAL, so ``int_col * 2.2`` is
+  EXACT decimal arithmetic — a different value than Spark's double
+  multiply. Non-binary-exact literals that multiply/add with INTEGER
+  columns must be ``CAST(... AS DOUBLE)`` in the oracle. Safe without
+  a cast: literals in ``/`` (always DOUBLE in DuckDB), literals
+  combining with an already-DOUBLE operand (the decimal→double
+  conversion equals parsing the literal as a double), and
+  binary-exact literals (0.5, 0.25, 0.75, 10.0, …) in any context.
+  Audited across the full oracle surface 2026-08-14; the one
+  violation (BM25's ``tf * 2.2``) is fixed and documented in place.
 """
 
 from __future__ import annotations
