@@ -20,7 +20,9 @@ rendering and the reader parses it back to the identical bits.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,17 +30,28 @@ from pyspark.sql import DataFrame, SparkSession
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
+_SCRATCH_ROOT: str | None = None
+
 
 def _scratch(name: str, sf_dir: str) -> str:
     """Scratch path qualified by scale factor AND process: the write is
     eager while the returned DataFrame reads lazily, so an unqualified
     shared path would let a second scale factor (or a concurrent
     session) overwrite the files a still-unconsumed DataFrame points
-    at — silently feeding the wrong rows to the oracle comparison."""
+    at — silently feeding the wrong rows to the oracle comparison.
+
+    The pid-qualified root is removed at interpreter exit (atexit, not
+    per-call: the returned DataFrame reads the files lazily, possibly
+    long after the builder returns) so repeated bench/test/driver runs
+    don't accrete full table copies under the system tempdir."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = os.path.join(
+            tempfile.gettempdir(), "spark_graft_roundtrip", str(os.getpid())
+        )
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_roundtrip", f"{sf_tag}_{os.getpid()}", name
-    )
+    return os.path.join(_SCRATCH_ROOT, sf_tag, name)
 
 
 @register(

@@ -19,10 +19,14 @@ Determinism contract (what keeps Spark and DuckDB hash-identical):
 * Every intermediate is either exact integer arithmetic or a fixed
   chain of individually-rounded double ops written in the SAME shape
   in the Spark builder and the SQL oracle (no re-association).
-* Per-term contributions are cast to DECIMAL(20,12) BEFORE the
+* Per-term contributions are cast to DECIMAL(38,12) BEFORE the
   per-document SUM, so partial-aggregation order cannot move the
   score; the 12-digit cut sits far above double's ~1e-16 relative
-  noise (same contract as ``unigram_rarity_scores``).
+  noise (same contract as ``unigram_rarity_scores``). The 26 integer
+  digits matter: the odds idf grows ~N/df, so a rare term in a
+  ~4.5e7-doc corpus overflows a (20,12)'s 8 integer digits — Spark
+  (non-ANSI) would NULL the contribution and SUM would silently drop
+  it while DuckDB errors. (38,12) holds to ~1e26 docs.
 * Top-k orderings carry ``doc_id`` (or ``term``) as the unique
   tiebreak.
 
@@ -82,7 +86,7 @@ _ORACLE_TOKS = """
                     * ((tf * CAST({_K1 + 1.0} AS DOUBLE)) /
                        (tf + CAST({_K1} AS DOUBLE)
                              * (0.25 + 0.75 * (dl / avgdl))))
-                    AS DECIMAL(20,12)) AS contrib
+                    AS DECIMAL(38,12)) AS contrib
         FROM tf JOIN dl ON tf.doc_id = dl.doc_id
                 JOIN dft USING (term), nd, avgdl
     )
@@ -127,7 +131,7 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(nd))
         .crossJoin(F.broadcast(avgdl))
-        .select("doc_id", (idf * tf_norm).cast("decimal(20,12)").alias("contrib"))
+        .select("doc_id", (idf * tf_norm).cast("decimal(38,12)").alias("contrib"))
     )
     return (
         scored.groupBy("doc_id")

@@ -55,6 +55,34 @@ def foreach_batch_dedup_append(
     )
 
 
+def _require_partitioned_pairs_layout(pairs_path: str) -> None:
+    """Refuse to start over a pre-r3 FLAT pairs layout (batch id as a
+    data column, parquet files directly under the root). The sink now
+    writes ``_ingest_batch_id=N/`` partition directories with dynamic
+    overwrite; resuming an old checkpoint over a flat root would mix
+    loose files and partition dirs under one path — Spark's partition
+    discovery rejects such a mix, and the old flat rows would sit
+    outside the idempotent-replay guarantee. A fresh ``pairs_path`` is
+    required when upgrading (the index itself is layout-compatible)."""
+    import os
+
+    if not os.path.isdir(pairs_path):
+        return
+    for entry in os.listdir(pairs_path):
+        # _ingest_batch_id=N/ partition dirs, _SUCCESS markers, and
+        # dot-files are all fine; anything else (part-*.parquet at the
+        # root) is the legacy flat layout.
+        if entry.startswith(("_", ".")):
+            continue
+        raise ValueError(
+            f"pairs_path {pairs_path!r} holds a legacy flat layout (found "
+            f"{entry!r} at the root, expected only _ingest_batch_id=N/ "
+            "partition directories). The pairs sink is now partitioned by "
+            "batch id for idempotent replay; point the sink at a fresh "
+            "pairs_path (or move the old files aside) before resuming."
+        )
+
+
 def streaming_neardup_index(
     stream_df: DataFrame,
     index_dir: str,
@@ -83,6 +111,8 @@ def streaming_neardup_index(
     from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
         neardup_incremental,
     )
+
+    _require_partitioned_pairs_layout(pairs_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once, so the pairs land through the

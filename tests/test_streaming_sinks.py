@@ -148,3 +148,27 @@ def test_streaming_neardup_index_equals_batch(spark, tmp_path):
     assert {
         (r.doc_a, r.doc_b, r.jaccard) for r in spark.read.parquet(pairs_path).collect()
     } == batch
+
+
+def test_streaming_neardup_index_refuses_legacy_flat_pairs_layout(tmp_path):
+    """Pre-r3 checkpoints wrote pairs FLAT (batch id as a data column);
+    the partitioned sink must refuse such a root at startup rather than
+    mix loose files with _ingest_batch_id=N/ dirs (ADVICE r3). Pure
+    path check — no stream needs to start to hit the guard."""
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.sinks import (
+        _require_partitioned_pairs_layout,
+    )
+
+    legacy = tmp_path / "legacy_pairs"
+    legacy.mkdir()
+    (legacy / "part-00000-abc.snappy.parquet").write_bytes(b"PAR1")
+    (legacy / "_SUCCESS").write_bytes(b"")
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        _require_partitioned_pairs_layout(str(legacy))
+
+    # absent path and partitioned layout both pass
+    _require_partitioned_pairs_layout(str(tmp_path / "nonexistent"))
+    part = tmp_path / "part_pairs"
+    (part / "_ingest_batch_id=0").mkdir(parents=True)
+    (part / "_SUCCESS").write_bytes(b"")
+    _require_partitioned_pairs_layout(str(part))
