@@ -33,8 +33,11 @@ HEADLINE = [
     "cte_top_revenue_nations",
     "dedup_exact_documents",
     "dedup_minhash_near_dup",
+    # r4 rename (VERDICT r3 directive #3): the primary name now runs the
+    # scaled geometry (r3's "dedup_embedding_cosine_pairs_scaled" bench
+    # row); the old fixed-geometry demo keeps a row for the contrast.
     "dedup_embedding_cosine_pairs",
-    "dedup_embedding_cosine_pairs_scaled",
+    "dedup_embedding_cosine_pairs_demo_fixed_geometry",
     "dedup_cluster_assignment",
     "semantic_dedup_embeddings",
     "funnel_conversion",

@@ -74,71 +74,72 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-3 rotation (VERDICT r2 directive #1): the 38 oracle-bearing
-# entries that had never received a driver CORRECTNESS row (r1 ∪ r2
-# covered 70 of 108) go first, followed by this round's new entries,
-# then 11 r2-green sentinels spanning every subsystem so a regression
-# in already-verified surface still shows up. Union of r1+r2+r3 rows
-# then covers all oracle-bearing entries registered through r2.
+# Round-4 rotation (VERDICT r3 directive #1): the 7 round-3 additions
+# that have never received a driver row go first, then the entries
+# whose builder/oracle CHANGED this round (the cosine-pairs rename per
+# directive #3 and semantic_dedup's IVF-shortlist assignment per
+# directive #2 — a green history under an old definition proves nothing
+# about the new one), then re-verification slots ordered by driver-row
+# age: the 20 oracle-bearing queries whose only green row is r1, the 18
+# whose latest row is r2, and finally r3-green sentinels. Union of
+# r1∪r2∪r3∪r4 then covers all oracle-bearing entries, every row ≤2
+# rounds old.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-checked: round-2 north-star deliverables --
-    "semantic_dedup_embeddings",
-    "dedup_canonical_corpus",
-    # -- never checked: corpus hygiene & mixing --
-    "doc_repetition_signals",
-    "decontamination_overlap",
-    "unigram_rarity_scores",
-    "boilerplate_token_scrub",
-    "sequence_packing",
-    "weighted_systematic_draw",
-    "source_mix_draw",
-    # -- never checked: privacy / gates / splits / profiling --
-    "pii_anonymize_customers",
-    "expectations_orders",
-    "snapshot_diff_orders",
-    "train_val_test_split",
-    "deterministic_shuffle",
-    "table_profile_events",
-    "join_key_skew_profile",
-    # -- never checked: statistics --
-    "corr_quantity_price_exact",
-    "histogram_order_totalprice",
-    "outlier_orders_zscore",
-    # -- never checked: events / lateral / recursive --
-    "events_cusum_drift",
-    "events_click_purchase_pairs",
-    "event_transition_counts",
-    "recursive_transition_paths",
-    "unpivot_lineitem_measures",
-    # -- never checked: remaining TPC-H shapes --
-    "order_priority_checking_q4",
-    "forecast_revenue_q6",
-    "returned_item_reporting_q10",
-    "shipping_latency_priority_q12",
-    "customer_order_distribution_q13",
-    "promo_revenue_share_q14",
-    "top_supplier_q15",
-    "parts_supplier_counts_q16",
-    "small_quantity_revenue_q17",
-    "large_volume_customers_q18",
-    "disjunctive_predicates_q19",
-    "dominant_supplier_q20",
-    "late_shipper_q21",
-    "sales_opportunity_q22",
-    # -- new in round 3 --
-    "dedup_embedding_cosine_pairs_scaled",
-    "knn_ivf_deterministic",
-    # -- r2-green sentinels (regression tripwires, one per subsystem) --
-    "dedup_exact_documents",
-    "dedup_minhash_near_dup",
-    "dedup_embedding_cosine_pairs",
-    "text_token_stats",
-    "knn_brute_force",
-    "events_hourly_rollup",
-    "asof_latest_order_per_event",
+    # -- never driver-checked: round-3 additions --
+    "bm25_topk_documents",
+    "tfidf_top_terms_per_doc",
+    "gopher_quality_filters",
+    "jsonl_roundtrip_documents",
+    "orc_roundtrip_customer",
+    "pagerank_trade_network",
+    "dedup_repeated_spans",
+    # -- changed in round 4 (rename / new assignment path) --
+    "dedup_embedding_cosine_pairs",  # now the scaled geometry (r3 directive #3)
+    "dedup_embedding_cosine_pairs_demo_fixed_geometry",  # the old fixed-geometry entry
+    "semantic_dedup_embeddings",  # IVF-shortlist assignment (r3 directive #2)
+    # -- oldest driver rows: green only in r1 --
+    "case_when_price_buckets",
+    "cheapest_supplier_per_part",
+    "date_functions_pack",
+    "distinct_flag_status",
+    "edit_distance_similar_parts",
+    "important_parts_q11",
+    "in_subquery_urgent_customers",
+    "lateral_explode_top_tokens",
+    "percentiles_by_segment",
+    "product_profit_q9",
+    "scalar_subquery_above_avg",
+    "set_except_priorities",
+    "set_intersect_priorities",
+    "set_union_priorities",
+    "string_functions_pack",
+    "two_nation_trade_q7",
+    "union_by_name_projections",
+    "window_order_gap_days",
+    "window_rank_pack",
+    "window_trailing_30day_spend",
+    # -- next oldest: latest driver row is r2 --
+    "array_ops_embeddings",
+    "cohort_retention",
+    "corpus_prep_pipeline",
+    "dedup_cluster_assignment",
+    "dedup_fingerprint_documents",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_hamming_pairs",
+    "dedup_simhash_signatures",
+    "events_gap_fill_resample",
+    "events_sliding_windows",
+    "events_user_sessions",
+    "funnel_conversion",
+    "range_join_quantity_band",
+    "text_chunk_windows",
+    "text_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_regex_token_count",
+    # -- r3-green sentinels --
     "flagship_between",
     "pricing_summary",
-    "join_fact_fact_revenue",
 )
 
 

@@ -78,7 +78,7 @@ COMMENTARY = {
         "key, one sort — compare with a per-event range probe which "
         "would be a nested-loop join."
     ),
-    "dedup_embedding_cosine_pairs": (
+    "dedup_embedding_cosine_pairs_demo_fixed_geometry": (
         "Embedding near-dup without a cross join: candidates come from "
         "the 16-band sign-bit equi-join over the persisted normalized "
         "vectors (SortMergeJoin/ShuffledHashJoin on (band, key)), then "

@@ -114,7 +114,8 @@ _PROBE_OPS = [
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_near_dup",
     "dedup_simhash_hamming_pairs",
-    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_cosine_pairs_demo_fixed_geometry",  # r4 rename of the fixed-geometry entry
+
     "dedup_cluster_assignment",
     "text_quality_scores",
     "text_language_id",
@@ -170,7 +171,7 @@ def main() -> None:
         "dedup_ngram_jaccard_pairs",
         "dedup_minhash_near_dup",
         "dedup_simhash_hamming_pairs",
-        "dedup_embedding_cosine_pairs",
+        "dedup_embedding_cosine_pairs_demo_fixed_geometry",
         "dedup_cluster_assignment",
     }
 

@@ -103,12 +103,12 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
 
 
 def test_sign_band_cosine_pairs_no_false_positives(spark):
-    """Every pair dedup_embedding_cosine_pairs reports must genuinely
+    """Every pair the fixed-geometry sign-band demo reports must genuinely
     exceed the cosine threshold (LSH may MISS pairs — documented
     recall — but the exact-cosine verify means it can never invent
     one), and the reported cosine must equal the brute-force value."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
-        dedup_embedding_cosine_pairs,
+        dedup_embedding_cosine_pairs_demo_fixed_geometry,
     )
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
         dot,
@@ -122,7 +122,7 @@ def test_sign_band_cosine_pairs_no_false_positives(spark):
 
     reported = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in dedup_embedding_cosine_pairs(spark, SF_SMOKE).collect()
+        for r in dedup_embedding_cosine_pairs_demo_fixed_geometry(spark, SF_SMOKE).collect()
     }
     assert reported, "fixture should produce at least one near-dup pair"
     e = with_norm(load_table(spark, SF_SMOKE, "embeddings"))
