@@ -12,11 +12,14 @@ every step is DETERMINISTIC and cross-engine exact, so DuckDB can
 replay the identical iterations and hash-match the result:
 
 * Init: centroids are the ``k`` lowest ``vec_id`` vectors — no RNG.
-* Assignment: argmin over cells of ``⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩`` where
-  every dot product is the same sequential left fold in both engines
-  (Spark ``F.aggregate``/``zip_with`` vs DuckDB ``list_dot_product`` —
+* Assignment: argmin of ``⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩`` where every dot
+  product is the same sequential left fold in both engines (Spark
+  ``F.aggregate``/``zip_with`` vs DuckDB ``list_dot_product`` —
   bit-identical, proven by the knn_brute_force oracle), with cell id as
-  the tie-break.
+  the tie-break — restricted to a COARSE-ANCHOR SHORTLIST
+  (``shortlist_assign``: m = isqrt(k) anchors, nprobe = 2) that the
+  oracle replays step-for-step, so the approximation itself is
+  deterministic and hash-checked.
 * Update: per-(cell, position) means go through
   ``CAST(val AS DECIMAL(28,18))`` before ``SUM`` — decimal addition is
   exact and associative, so partial-aggregation order (Spark partitions
@@ -39,6 +42,8 @@ map-side instead of shuffling n·k scored rows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,7 +57,8 @@ from data_lake_construction_and_querying_with_pyspark_spark.sources.readers impo
 K_CELLS = 8  # minimum cluster count (floor of the derived k)
 TARGET_CELL = 64  # target vectors per cell; k grows ∝ n above the floor
 N_ITERS = 3  # fixed Lloyd's iterations (determinism: no convergence test)
-TAU = 0.4  # within-cluster cosine threshold (matches dedup_embedding_cosine_pairs)
+TAU = 0.4  # within-cluster cosine threshold (fixture has no natural 0.9+ pairs)
+SEM_NPROBE = 2  # coarse anchors probed per vector in the shortlist assignment
 
 
 def derive_k(n: int) -> int:
@@ -66,6 +72,17 @@ def derive_k(n: int) -> int:
     return max(K_CELLS, n // TARGET_CELL)
 
 
+def coarse_m(k: int) -> int:
+    """Anchor count for the shortlist assignment: ``max(1, isqrt(k))``.
+    √k anchors balance the two stages — probing costs n·m·d, shortlist
+    scoring n·nprobe·(k/m)·d, so m = √k minimizes their sum at
+    ~2·nprobe·√k·d per vector vs the flat assignment's k·d. Exact
+    INTEGER sqrt (``math.isqrt``), replayed in SQL as
+    ``MAX(i) WHERE i*i <= k`` — never ``FLOOR(SQRT(k))``, whose double
+    rounding could disagree off-by-one at perfect squares."""
+    return max(1, math.isqrt(k))
+
+
 def _d2_sql(v: str, c: str) -> str:
     """Squared euclidean distance via three dot products — the exact
     arithmetic shape both engines evaluate identically:
@@ -77,37 +94,79 @@ def _d2_sql(v: str, c: str) -> str:
 
 
 def _oracle_semantic(
-    k: int | None = None, iters: int = N_ITERS, tau: float = TAU
+    k: int | None = None,
+    iters: int = N_ITERS,
+    tau: float = TAU,
+    nprobe: int = SEM_NPROBE,
 ) -> str:
-    """Chained-CTE replay of the deterministic Lloyd's iterations.
+    """Chained-CTE replay of the deterministic Lloyd's iterations with
+    the COARSE-ANCHOR SHORTLIST assignment (the path the Spark builder
+    runs — replaying flat all-k scoring against a shortlist builder
+    would hash-diverge the moment a shortlist misses a true argmin, so
+    the oracle reproduces the shortlist itself: anchors, centroid
+    buckets, per-vector probes, and the restricted argmin, every step
+    the same d2 expression and tie-break as the builder).
 
     ``k=None`` (the registered default) derives k from the corpus size
     inside the SQL itself — ``GREATEST(K_CELLS, COUNT(*) // TARGET_CELL)``
-    as a scalar-subquery LIMIT — so the oracle tracks ``derive_k`` at
-    every scale factor without regeneration."""
-    limit = (
-        str(k)
-        if k is not None
-        else f"(SELECT GREATEST({K_CELLS}, COUNT(*) // {TARGET_CELL}) FROM embeddings)"
-    )
+    as a scalar-subquery LIMIT — and m as the exact integer sqrt of
+    that k (``MAX(i) WHERE i*i <= k``), so the oracle tracks
+    ``derive_k``/``coarse_m`` at every scale factor without
+    regeneration."""
+    if k is not None:
+        limit, m_expr = str(k), str(coarse_m(k))
+    else:
+        limit = "(SELECT k FROM kk)"
+        m_expr = "(SELECT m FROM mm)"
     ctes = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""c0 AS (
+        f"kk AS (SELECT GREATEST({K_CELLS}, COUNT(*) // {TARGET_CELL}) AS k FROM embeddings)",
+        "mm AS (SELECT GREATEST(1, (SELECT MAX(i) FROM range(1, 4096) t(i)"
+        " WHERE i*i <= (SELECT k FROM kk))) AS m)",
+        # MATERIALIZED: DuckDB inlines plain CTEs at every reference;
+        # the shortlist chain references c{t-1} and an{t} multiply per
+        # iteration, so inlining re-expands the whole Lloyd's prefix
+        # ~4× per iteration (measured ~200 s at sf0.1 vs ~2 s
+        # materialized). Values are unaffected — only evaluation count.
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cent
         FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {limit}))""",
     ]
     for t in range(1, iters + 1):
         ctes.append(
-            f"""a{t} AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT q.vec_id, q.v, c.cell,
+            f"""an{t} AS MATERIALIZED (
+            SELECT cell AS acell, cent AS acent FROM (
+                SELECT cell, cent, ROW_NUMBER() OVER (ORDER BY cell) AS ar
+                FROM c{t - 1}) WHERE ar <= {m_expr})"""
+        )
+        ctes.append(
+            f"""ca{t} AS MATERIALIZED (
+            SELECT cell, cent, acell FROM (
+                SELECT c.cell, c.cent, a.acell,
+                       ROW_NUMBER() OVER (PARTITION BY c.cell
+                           ORDER BY {_d2_sql('c.cent', 'a.acent')}, a.acell) AS rn
+                FROM c{t - 1} c, an{t} a) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pr{t} AS MATERIALIZED (
+            SELECT vec_id, acell FROM (
+                SELECT q.vec_id, a.acell,
                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                           ORDER BY {_d2_sql('q.v', 'c.cent')}, c.cell) AS rn
-                FROM v q, c{t - 1} c) WHERE rn = 1)"""
+                           ORDER BY {_d2_sql('q.v', 'a.acent')}, a.acell) AS rn
+                FROM v q, an{t} a) WHERE rn <= {nprobe})"""
+        )
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+            SELECT vec_id, v, cell FROM (
+                SELECT q.vec_id, q.v, s.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_d2_sql('q.v', 's.cent')}, s.cell) AS rn
+                FROM v q JOIN pr{t} p ON p.vec_id = q.vec_id
+                         JOIN ca{t} s ON s.acell = p.acell) WHERE rn = 1)"""
         )
         if t < iters:
             ctes.append(
-                f"""c{t} AS (
+                f"""c{t} AS MATERIALIZED (
                 SELECT cell, list(m ORDER BY pos) AS cent FROM (
                     SELECT cell, pos,
                            CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
@@ -153,6 +212,84 @@ def kmeans_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _d2_col(v, cent) -> F.Column:
+    """The assignment d2 as a Column: same left-associative
+    ``(⟨v,v⟩ − 2⟨v,c⟩) + ⟨c,c⟩`` with sequential-fold dots that
+    ``_d2_sql`` replays — bit-identical cross-engine."""
+    return dot(v, v) - F.lit(2) * dot(v, cent) + dot(cent, cent)
+
+
+def shortlist_assign(
+    base: DataFrame, centroids: DataFrame, m: int, nprobe: int = SEM_NPROBE
+) -> DataFrame:
+    """One Lloyd's assignment through a COARSE-ANCHOR SHORTLIST — the
+    100 TB replacement for flat all-k scoring (VERDICT r3 directive #2:
+    flat assignment is O(n·k·d), ≈1.3·10¹¹ multiplies/iteration at the
+    1M rung with k ∝ n; this is O(n·(m + nprobe·k/m)·d) ≈ 2·nprobe·√k·d
+    per vector — ~30× fewer at k=15 625).
+
+    Anchors are the m smallest surviving cell ids of the CURRENT
+    centroid table (deterministic, no RNG); every centroid is bucketed
+    under its nearest anchor (tie-break acell — k·m fold work, one tiny
+    JVM projection); every vector probes its nprobe nearest anchors and
+    argmins only over the centroids in those buckets (tie-break cell).
+    Every anchor buckets itself (d2=0), so no probed bucket is empty
+    and the shortlist is never empty. The assignment is APPROXIMATE —
+    a vector's true nearest centroid can hide in an unprobed bucket —
+    but deterministically so: the oracle replays anchors, buckets,
+    probes, and the restricted argmin exactly (``_oracle_semantic``),
+    and docs/SCALING.md measures assignment agreement vs flat.
+
+    Plan shape (the point): the anchor table rides along as ONE
+    broadcast row holding an array of (acell, acent) structs — probes
+    are a pure projection (transform → array_sort → slice → explode),
+    zero shuffle, no n·m window; the shortlist scoring is a broadcast
+    equi-join on acell (k rows) and the argmin is the same map-side
+    ``min_by`` collapse as flat assignment, so the only exchange in the
+    whole step still carries exactly n rows."""
+    anchors = (
+        centroids.orderBy("cell")
+        .limit(m)
+        .select(F.col("cell").alias("acell"), F.col("cent").alias("acent"))
+    )
+    aarr = anchors.agg(
+        F.array_sort(F.collect_list(F.struct("acell", "acent"))).alias("aarr")
+    )
+
+    def anchor_scores(v) -> F.Column:
+        # sorted (d2, acell) structs — lexicographic struct ordering IS
+        # the oracle's ORDER BY d2, acell
+        return F.array_sort(
+            F.transform(
+                F.col("aarr"),
+                lambda a: F.struct(
+                    _d2_col(v, a["acent"]).alias("d2"), a["acell"].alias("acell")
+                ),
+            )
+        )
+
+    bucketed = centroids.crossJoin(F.broadcast(aarr)).select(
+        "cell", "cent", anchor_scores(F.col("cent"))[0]["acell"].alias("acell")
+    )
+    probed = (
+        base.crossJoin(F.broadcast(aarr))
+        .select(
+            "vec_id",
+            "v",
+            F.explode(F.slice(anchor_scores(F.col("v")), 1, nprobe)).alias("p"),
+        )
+        .select("vec_id", "v", F.col("p.acell").alias("acell"))
+    )
+    best = F.min_by(F.struct("cell", "v"), F.struct("d2", "cell")).alias("b")
+    return (
+        probed.join(F.broadcast(bucketed), "acell")
+        .select("vec_id", "v", "cell", _d2_col(F.col("v"), F.col("cent")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+    )
+
+
 def kmeans_update(assigned: DataFrame) -> DataFrame:
     """Exact centroid update in long format: per-(cell, pos) decimal
     mean, reassembled into an ordered array. k·dim groups — tiny."""
@@ -188,12 +325,21 @@ def semantic_dedup(
     k: int = K_CELLS,
     iters: int = N_ITERS,
     tau: float = TAU,
+    nprobe: int = SEM_NPROBE,
+    flat_assign: bool = False,
 ) -> DataFrame:
     """Parameterized SemDeDup core over an ``(vec_id, embedding)``
     frame. Production picks ``k ∝ n`` so cluster size — and with it the
     Σ|cell|² pair bound — stays constant as the corpus grows; the
-    registered query pins k for the fixture and its oracle, the scale
-    probe passes a corpus-proportional k."""
+    registered query derives that k from the corpus and its oracle
+    computes the identical k in SQL.
+
+    Assignment goes through the coarse-anchor shortlist
+    (``shortlist_assign``, m = isqrt(k) anchors, nprobe probes) — the
+    path that survives k ∝ n at the 1M rung where flat Lloyd's is
+    O(n·k·d). ``flat_assign=True`` keeps the all-k scorer available as
+    the agreement baseline docs/SCALING.md measures the shortlist
+    against (and for micro-corpora where k ≈ m anyway)."""
     # Session-owned persists (repo convention — callers clearCache):
     # `base` feeds every iteration's assignment; `nm` feeds both sides
     # of the pair join plus the final projection.
@@ -214,9 +360,14 @@ def semantic_dedup(
             F.col("v").alias("cent"),
         )
     )
+    m = coarse_m(k)
     assigned = None
     for t in range(1, iters + 1):
-        assigned = kmeans_assign(base, centroids)
+        assigned = (
+            kmeans_assign(base, centroids)
+            if flat_assign
+            else shortlist_assign(base, centroids, m, nprobe)
+        )
         if t < iters:
             centroids = _materialize_centroids(spark, kmeans_update(assigned))
     nm = assigned.withColumn("norm", F.sqrt(dot("v", "v"))).persist()
@@ -272,7 +423,7 @@ def _oracle_ivf() -> str:
         )
         if t < IVF_ITERS:
             ctes.append(
-                f"""c{t} AS (
+                f"""c{t} AS MATERIALIZED (
                 SELECT cell, list(m ORDER BY pos) AS cent FROM (
                     SELECT cell, pos,
                            CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
@@ -376,10 +527,12 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("semantic_dedup_embeddings", oracle=_oracle_semantic())
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: deterministic k-means (k = max(8, n//64) — derived
-    from the corpus size, 3 iterations) over the embedding table, then
-    mark each vector a semantic duplicate if a lower-id vector in the
-    SAME cluster has cosine ≥ 0.4 with it. Returns
-    (vec_id, cell_id, is_semantic_dup) for every vector.
+    from the corpus size, 3 iterations, assignment via the
+    coarse-anchor SHORTLIST with m = isqrt(k) anchors and nprobe = 2 —
+    the registered path IS the scale path, r3 directive #2) over the
+    embedding table, then mark each vector a semantic duplicate if a
+    lower-id vector in the SAME cluster has cosine ≥ 0.4 with it.
+    Returns (vec_id, cell_id, is_semantic_dup) for every vector.
 
     The within-cluster pair scan is the SemDeDup trick: candidate pairs
     are bounded by Σ|cell|² instead of n², and clusters are independent

@@ -143,9 +143,11 @@ COMMENTARY = {
         "key order because the bucket is a key prefix."
     ),
     "semantic_dedup_embeddings": (
-        "SemDeDup final stage: the Lloyd's assignment is corpus × "
-        "broadcast k-centroid table with a map-side partial min_by "
-        "argmin (only n rows reach the exchange, not n·k), and the "
+        "SemDeDup final stage: the Lloyd's assignment probes a "
+        "broadcast coarse-anchor array (pure projection, zero shuffle) "
+        "then argmins over the broadcast-joined shortlist buckets with "
+        "a map-side partial min_by (only n rows reach the exchange, "
+        "not n·k — and only ~2·√k·d fold work per vector), and the "
         "within-cluster pair scan is an equi-join on cell with the "
         "vec_id inequality as a join residual — pair volume is "
         "Σ|cell|², never n²."

@@ -96,3 +96,68 @@ def test_scaled_cosine_pairs_recover_planted_dup(spark):
     pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
     spark.catalog.clearCache()
     assert (1, 9001) in pairs
+
+
+def test_shortlist_assign_equals_flat_when_probes_cover_all_anchors(spark):
+    """With nprobe ≥ m every coarse bucket is probed, so the shortlist
+    contains all k centroids and the assignment must equal flat Lloyd's
+    EXACTLY (fixture k=8 → m=2): the registered path's approximation is
+    provably inactive at fixture scale, which is why the driver's
+    sf0.01 hash check stays meaningful for the flat semantics too."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        SEM_NPROBE,
+        coarse_m,
+        semantic_dedup,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k = 8
+    assert SEM_NPROBE >= coarse_m(k)
+    short = {tuple(r) for r in semantic_dedup(spark, emb, k=k).collect()}
+    flat = {tuple(r) for r in semantic_dedup(spark, emb, k=k, flat_assign=True).collect()}
+    spark.catalog.clearCache()
+    assert short == flat
+
+
+def test_shortlist_assign_recovers_planted_dups_like_flat(spark):
+    """On a corpus with REAL duplicate structure (the scale probe's
+    generator: uniform vectors, every 20th pair near-identical or
+    exact), the shortlist assignment must recover planted duplicates
+    as well as flat Lloyd's at the production threshold. k=31 → m=5
+    anchors, nprobe=2: only 2/5 of the coarse buckets are probed, so
+    the approximation is genuinely active. (Raw cell-id agreement vs
+    flat is NOT asserted: on near-orthogonal noise the argmin is
+    arbitrary among near-equal distances — measured ~35% agreement —
+    and SemDeDup's output quality rides on pair recovery, not on which
+    of two equidistant cells a noise vector lands in. Pair members are
+    near-identical, so their anchor distances — hence probed buckets
+    and final cell — coincide; both assignments split the same ~2% of
+    pairs that straddle a genuine distance tie.)"""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        SEM_NPROBE,
+        coarse_m,
+        derive_k,
+        semantic_dedup,
+    )
+
+    n = 2000
+    emb = build_embeddings(spark, n)
+    k = derive_k(n)
+    assert coarse_m(k) > SEM_NPROBE  # the approximation is actually active
+    # ground truth: the higher-id member of every exact/near pair group
+    planted = {d for d in range(n) if d % 2 == 1 and (d // 2) % 20 < 2}
+
+    def recovered(flat):
+        out = semantic_dedup(spark, emb, k=k, tau=0.95, flat_assign=flat)
+        ids = {r["vec_id"] for r in out.filter("is_semantic_dup").collect()}
+        spark.catalog.clearCache()
+        return len(ids & planted)
+
+    flat_rec, short_rec = recovered(True), recovered(False)
+    assert flat_rec >= 0.95 * len(planted)  # the baseline itself is sane
+    # measured: flat 98/100, shortlist 98/100 (different 2 missed)
+    assert short_rec >= flat_rec - 1, (
+        f"shortlist recovered {short_rec}, flat {flat_rec}, of {len(planted)} planted"
+    )
