@@ -44,6 +44,8 @@ HEADLINE = [
     "text_quality_scores",
     "knn_brute_force",
     "bm25_topk_documents",  # added r3: lexical retrieval family
+    "dedup_repeated_spans",  # added r4: the heaviest dedup family (positional 5-gram index)
+    "pagerank_trade_network",  # added r4: iterative graph analytics
 ]
 
 

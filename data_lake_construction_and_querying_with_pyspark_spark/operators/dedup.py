@@ -556,7 +556,6 @@ def embedding_cosine_pairs_scaled(
     from pyspark import StorageLevel
 
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
-        dot,
         lsh_multi_buckets_flat,
         with_norm,
     )
@@ -577,6 +576,19 @@ def embedding_cosine_pairs_scaled(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    return verify_cosine_pairs(cand, e, tau)
+
+
+def verify_cosine_pairs(cand: DataFrame, e: DataFrame, tau: float) -> DataFrame:
+    """Exact-cosine verification of candidate pairs: two vec_id
+    equi-joins attach (v, norm) to each side, sequential-fold dot /
+    norms, strict ``> tau``. Single-sourced for the batch operator
+    (``dedup_embedding_cosine_pairs``) AND the incremental/streaming
+    index (``incremental.embedding_neardup_incremental``) — the
+    stream≡batch equality their tests pin is structural, not
+    copy-paste parity (the pattern ``verify_jaccard_pairs`` set)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import dot
+
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))

@@ -167,3 +167,104 @@ def neardup_incremental(
         f"{index_dir}/bands.parquet"
     )
     return pairs
+
+
+# --- incremental embedding near-dup (sign-LSH bucket index) --------------------
+
+
+EMB_INDEX_TABLES = 8  # LSH tables — same geometry as dedup_embedding_cosine_pairs
+EMB_INDEX_PLANES = 16  # sign bits per table (65 536 keys/band)
+EMB_INDEX_TAU = 0.9  # production near-dup threshold
+
+
+def init_embedding_index(spark: SparkSession, index_dir: str) -> None:
+    """Create an empty embedding near-dup index: a sign-LSH bucket
+    table (candidate lookup) plus a normalized-vector inventory
+    (exact-cosine verification)."""
+    spark.createDataFrame([], "vec_id long, tbl int, bucket int").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/buckets.parquet")
+    spark.createDataFrame([], "vec_id long, v array<double>, norm double").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/vectors.parquet")
+
+
+def embedding_neardup_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    tau: float = EMB_INDEX_TAU,
+    pairs_sink=None,
+) -> DataFrame:
+    """Embedding near-dup pairs of an incoming ``(vec_id, embedding)``
+    batch against the accumulated corpus (and within the batch), using
+    the SAME 8-table × 16-sign-bit hyperplane construction as the batch
+    operator ``dedup.dedup_embedding_cosine_pairs`` — bucket membership
+    is a deterministic function of the vector alone, so the union of
+    incremental pair discoveries over ANY batch split equals the batch
+    operator's pair set exactly (``tests/test_streaming_sinks.py``
+    proves it over a 4-way split plus checkpoint restart).
+
+    Per-batch cost: bucket the batch (vectors × broadcast plane table,
+    map-side), probe the bucket index (equi-join on (tbl, bucket) —
+    only colliding buckets are touched), exact-cosine-verify via the
+    vector inventory, append the batch's buckets and vectors. Nothing
+    rescans the corpus. At 100 TB both index tables live bucketed by
+    their join keys ((tbl, bucket) and vec_id) so probe and verify are
+    shuffle-free; semantics are unchanged.
+
+    Replay-safe: vec_ids already present in the bucket index are
+    anti-joined out first (re-ingesting a batch is a no-op), and the
+    verify reads the inventory through ``distinct()`` so a crash
+    between the two appends cannot double-count a vector on retry.
+    The durability ordering mirrors ``neardup_incremental``: pairs
+    land through ``pairs_sink`` BEFORE the index mutation, because once
+    the batch's buckets are appended a replayed batch anti-joins to
+    nothing and could never re-discover them.
+
+    Candidate generation, plane geometry, and the exact-cosine verify
+    are shared with the batch operator (``similarity.
+    lsh_multi_buckets_flat`` / ``dedup.verify_cosine_pairs``), so
+    incremental≡batch equality is single-sourced, not copy-paste
+    parity."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        verify_cosine_pairs,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        lsh_multi_buckets_flat,
+        with_norm,
+    )
+
+    buckets_old = spark.read.parquet(f"{index_dir}/buckets.parquet")
+    vecs_old = spark.read.parquet(f"{index_dir}/vectors.parquet")
+    known = buckets_old.select("vec_id").distinct()
+
+    vecs_new = (
+        with_norm(batch.join(known, "vec_id", "left_anti"))
+        .localCheckpoint()
+    )
+    buckets_new = lsh_multi_buckets_flat(
+        vecs_new, n_tables=EMB_INDEX_TABLES, n_planes=EMB_INDEX_PLANES
+    ).localCheckpoint()
+
+    buckets_all = buckets_old.unionByName(buckets_new.select("vec_id", "tbl", "bucket"))
+    vecs_all = vecs_old.unionByName(vecs_new).distinct()
+
+    cand = (
+        buckets_new.select("tbl", "bucket", F.col("vec_id").alias("new_id"))
+        .join(buckets_all, ["tbl", "bucket"])
+        .filter(F.col("new_id") != F.col("vec_id"))
+        .select(
+            F.least("new_id", "vec_id").alias("vec_a"),
+            F.greatest("new_id", "vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    pairs = verify_cosine_pairs(cand, vecs_all, tau).localCheckpoint()
+    if pairs_sink is not None:
+        pairs_sink(pairs)
+    vecs_new.write.mode("append").parquet(f"{index_dir}/vectors.parquet")
+    buckets_new.select("vec_id", "tbl", "bucket").write.mode("append").parquet(
+        f"{index_dir}/buckets.parquet"
+    )
+    return pairs

@@ -17,7 +17,7 @@ replay the identical iterations and hash-match the result:
   ``F.aggregate``/``zip_with`` vs DuckDB ``list_dot_product`` —
   bit-identical, proven by the knn_brute_force oracle), with cell id as
   the tie-break — restricted to a COARSE-ANCHOR SHORTLIST
-  (``shortlist_assign``: m = isqrt(k) anchors, nprobe = 2) that the
+  (``shortlist_assign``: m = isqrt(k) anchors, nprobe = 3) that the
   oracle replays step-for-step, so the approximation itself is
   deterministic and hash-checked.
 * Update: per-(cell, position) means go through
@@ -58,7 +58,7 @@ K_CELLS = 8  # minimum cluster count (floor of the derived k)
 TARGET_CELL = 64  # target vectors per cell; k grows ∝ n above the floor
 N_ITERS = 3  # fixed Lloyd's iterations (determinism: no convergence test)
 TAU = 0.4  # within-cluster cosine threshold (fixture has no natural 0.9+ pairs)
-SEM_NPROBE = 2  # coarse anchors probed per vector in the shortlist assignment
+SEM_NPROBE = 3  # coarse anchors probed per vector (docs/SCALING.md: best planted-pair recovery per cost at the 100k rung)
 
 
 def derive_k(n: int) -> int:
@@ -528,7 +528,7 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: deterministic k-means (k = max(8, n//64) — derived
     from the corpus size, 3 iterations, assignment via the
-    coarse-anchor SHORTLIST with m = isqrt(k) anchors and nprobe = 2 —
+    coarse-anchor SHORTLIST with m = isqrt(k) anchors and nprobe = 3 —
     the registered path IS the scale path, r3 directive #2) over the
     embedding table, then mark each vector a semantic duplicate if a
     lower-id vector in the SAME cluster has cosine ≥ 0.4 with it.

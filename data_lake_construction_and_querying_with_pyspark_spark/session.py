@@ -23,6 +23,22 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Plan every exchange at 512 reducers and let AQE coalesce DOWN to
+    # the advisory size at runtime: AQE can merge small partitions but
+    # never split an unskewed oversized one, so the static number must
+    # be the CEILING for the largest shuffle the session will run, not
+    # the thread count. This is what removes the manual reducer knob
+    # the 1M-doc scale probe needed (SCALE_PROBE_SHUFFLE=128 — the
+    # exploded shingle index spilled at 32 reducers; VERDICT r3
+    # finding #3): the same session now lands within noise of the
+    # hand-pinned run with no knob, while small-SF queries still
+    # coalesce to ~parallelism (docs/SCALING.md "AQE, no manual knob").
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    # Companion flag: without it, persist()ed plans pin their output
+    # partitioning and AQE may not coalesce the 512-bucket shuffles
+    # feeding a cache (observed: 512-task stages on sf0.01 after
+    # raising initialPartitionNum — pure scheduling overhead).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

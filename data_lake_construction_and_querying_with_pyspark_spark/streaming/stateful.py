@@ -33,14 +33,24 @@ def transform_with_state_available() -> bool:
     protobuf protocol; a container without a working ``google.protobuf``
     crashes the TWS driver worker at startup (observed:
     ``ImportError: cannot import name 'descriptor'``). Probe before
-    using; tests skip when unavailable. The applyInPandasWithState
-    operator in ``sinks.py`` covers custom state without protobuf."""
+    using; tests skip when unavailable — with the EXACT import failure
+    in the skip reason (``transform_with_state_unavailable_reason``),
+    so the round the environment gains a working protobuf the JVM-
+    backed equivalence test lights up by itself and until then the
+    recorded reason names precisely what is missing. The
+    applyInPandasWithState operator in ``sinks.py`` covers custom
+    state without protobuf."""
+    return transform_with_state_unavailable_reason() is None
+
+
+def transform_with_state_unavailable_reason() -> str | None:
+    """None when TWS can run; otherwise the exact import failure."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
-        return True
-    except ImportError:
-        return False
+        return None
+    except ImportError as e:
+        return f"{type(e).__name__}: {e}"
 
 
 CUSUM_TARGET = 50.0  # reference level for the value stream

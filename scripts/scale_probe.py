@@ -175,19 +175,22 @@ def main() -> None:
         "dedup_cluster_assignment",
     }
 
-    # SemDeDup probes with corpus-proportional k (the production
-    # setting: cluster size — and the Σ|cell|² pair bound — stays
-    # constant as n grows; the registered query's fixed k=8 is an
-    # oracle-replay convenience, not the scale configuration).
+    # SemDeDup with the REGISTERED k policy (derive_k: k = n//64, so
+    # cluster size — and the Σ|cell|² pair bound — stays constant as n
+    # grows) and the registered shortlist assignment (m = isqrt(k)
+    # anchors, nprobe = 2 — the r4 path that replaced flat all-k
+    # scoring, which the r3 probe had to skip at 1M: O(n·k·d) ≈ 1.3e11
+    # multiplies/iteration there).
     def semantic_scaled(spark, sf_dir):
         from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+            derive_k,
             semantic_dedup,
         )
 
         from pyspark.sql import functions as F
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        out_df = semantic_dedup(spark, emb, k=max(8, n_docs // 500), tau=0.95)
+        out_df = semantic_dedup(spark, emb, k=derive_k(n_docs), tau=0.95)
         # emit only flagged rows: the row count IS the planted-pair
         # recovery signal (expected ≈ n/20: one flag per planted pair)
         return out_df.filter(F.col("is_semantic_dup"))

@@ -184,7 +184,14 @@ def test_cusum_alerts_match_reference_replay(spark, tmp_path_factory):
     )
 
     if not transform_with_state_available():
-        pytest.skip("google.protobuf unavailable: transformWithState state server cannot start")
+        from data_lake_construction_and_querying_with_pyspark_spark.streaming.stateful import (
+            transform_with_state_unavailable_reason,
+        )
+
+        pytest.skip(
+            "transformWithState state server cannot start — "
+            f"{transform_with_state_unavailable_reason()}"
+        )
 
     from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
     from data_lake_construction_and_querying_with_pyspark_spark.streaming.stateful import (

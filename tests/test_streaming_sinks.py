@@ -172,3 +172,80 @@ def test_streaming_neardup_index_refuses_legacy_flat_pairs_layout(tmp_path):
     (part / "_ingest_batch_id=0").mkdir(parents=True)
     (part / "_SUCCESS").write_bytes(b"")
     _require_partitioned_pairs_layout(str(part))
+
+
+def test_streaming_embedding_index_equals_batch(spark, tmp_path):
+    """The stream-maintained sign-LSH embedding index must equal batch:
+    draining the planted-clone corpus through streaming_embedding_index
+    in 4 micro-batches yields exactly the pair set of the batch scaled-
+    geometry operator over the whole corpus, and a checkpoint restart
+    appends nothing (replay safety)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_TAU,
+        embedding_cosine_pairs_scaled,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_embedding_index,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.sinks import (
+        streaming_embedding_index,
+    )
+
+    # the registered batch query's corpus: fixture vectors + planted clones
+    base = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionByName(clones)
+    src = str(tmp_path / "emb_src")
+    corpus.repartition(4).write.mode("overwrite").parquet(src)
+
+    idx = str(tmp_path / "emb_idx")
+    ckpt = str(tmp_path / "emb_ckpt")
+    pairs_path = str(tmp_path / "emb_pairs")
+    init_embedding_index(spark, idx)
+
+    def emb_stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = streaming_embedding_index(emb_stream(), idx, ckpt, pairs_path, tau=_SCALED_TAU)
+    q.awaitTermination()
+
+    streamed = {
+        (r.vec_a, r.vec_b, r.cosine) for r in spark.read.parquet(pairs_path).collect()
+    }
+    batch = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_cosine_pairs_scaled(spark, corpus, tau=_SCALED_TAU).collect()
+    }
+    spark.catalog.clearCache()
+    assert streamed == batch and len(batch) > 0
+    # the cross-batch probe path must actually fire: pairs from ≥2 batches
+    n_batches = (
+        spark.read.parquet(pairs_path).select("_ingest_batch_id").distinct().count()
+    )
+    assert n_batches >= 2, n_batches
+    n_buckets = spark.read.parquet(f"{idx}/buckets.parquet").count()
+
+    # restart on the same checkpoint: no new files → index and pairs unchanged
+    q2 = streaming_embedding_index(emb_stream(), idx, ckpt, pairs_path, tau=_SCALED_TAU)
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{idx}/buckets.parquet").count() == n_buckets
+    assert {
+        (r.vec_a, r.vec_b, r.cosine) for r in spark.read.parquet(pairs_path).collect()
+    } == batch
