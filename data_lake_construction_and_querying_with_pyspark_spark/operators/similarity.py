@@ -341,3 +341,129 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+# --- approximate kNN GRAPH (top-1 neighbor per vector via LSH buckets) ---------
+
+
+def _oracle_knn_graph(dim: int = 64) -> str:
+    """DuckDB replay of ``knn_graph_top1``: the same seeded-LCG
+    hyperplane tables as the scaled cosine-pairs oracle (embedded as
+    shortest-round-trip double literals — the parsed double is
+    bit-identical to the one Spark broadcasts), DIRECTIONAL candidates
+    (a vector can be its neighbor's top-1 without the converse), and a
+    per-vector argmax replayed as ROW_NUMBER ORDER BY cosine DESC,
+    nbr_id — exactly the lexicographic ``max_by`` struct ordering the
+    Spark builder aggregates with."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_PLANES,
+        _SCALED_TABLES,
+    )
+
+    branches = []
+    for t in range(_SCALED_TABLES):
+        planes = _hyperplanes(dim, _SCALED_PLANES, seed=7 + 1000 * t)
+        key = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        branches.append(f"SELECT vec_id, {t} AS tbl, {key} AS key FROM e")
+    bands = " UNION ALL ".join(branches)
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + {_CLONE_OFF}, list_transform(v, x -> x + 0.01)
+        FROM base WHERE vec_id % {_CLONE_MOD} = 0
+    ),
+    e AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
+    bands AS MATERIALIZED ({bands}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+        FROM bands a JOIN bands b ON a.tbl = b.tbl AND a.key = b.key
+        WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT cand.vec_id, cand.nbr_id,
+               list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.vec_id
+        JOIN e eb ON eb.vec_id = cand.nbr_id
+    )
+    SELECT vec_id, nbr_id, cosine FROM (
+        SELECT vec_id, nbr_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, nbr_id) AS rn
+        FROM scored) WHERE rn = 1
+    """
+
+
+@register("knn_graph_top1", oracle=_oracle_knn_graph())
+def knn_graph_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN-GRAPH construction: for EVERY vector, its top-1
+    cosine neighbor among its LSH bucket-mates — the edge list that
+    feeds graph-based semantic dedup and diversity pruning (cluster the
+    kNN graph instead of all-pairs similarity; SemDeDup's graph-side
+    sibling). Vectors whose buckets contain no other vector emit no
+    edge — the honest semantics of an approximate graph (a production
+    pipeline raises n_tables to push coverage toward 1).
+
+    Uses the SAME planted-clone corpus and 8-table × 16-sign-bit
+    hyperplane geometry as ``dedup_embedding_cosine_pairs`` (every 50th
+    vector has a near-identical clone, so those vectors' top-1 is
+    pinned by construction and the oracle checks recall, not just
+    precision), and the same data-driven broadcast plane table — zero
+    literal explosion, map-side bit sums.
+
+    Scale shape: candidates are an equi-join on (tbl, bucket) — volume
+    ∝ Σ bucket², kept subquadratic by the 65 536-key bands (the
+    docs/SCALING.md-measured geometry); the per-vector argmax is a
+    map-side ``max_by`` partial aggregate (candidates for a vector are
+    co-partitioned by the candidate join), so the final exchange
+    carries one row per vector, never the candidate multiset. At
+    100 TB, k>1 variants swap ``max_by`` for the same bounded
+    TakeOrderedAndProject pattern as BM25's top-k."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_PLANES,
+        _SCALED_TABLES,
+    )
+    from pyspark import StorageLevel
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    e = with_norm(base.unionByName(clones)).persist(StorageLevel.MEMORY_AND_DISK)
+    flat = lsh_multi_buckets_flat(
+        e, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        flat.alias("a")
+        .join(flat.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    best = F.max_by(
+        F.struct("nbr_id", "cosine"), F.struct(F.col("cosine"), (-F.col("nbr_id")).alias("neg"))
+    ).alias("b")
+    return (
+        cand.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .select("vec_id", "nbr_id", cosine.alias("cosine"))
+        .groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", F.col("b.nbr_id").alias("nbr_id"), F.col("b.cosine").alias("cosine"))
+    )
