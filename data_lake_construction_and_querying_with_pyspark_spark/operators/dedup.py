@@ -944,6 +944,28 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 5  # tokens per positional shingle
 _SPAN_MIN_DF = 2  # a span is boilerplate when ≥ this many docs carry it
+_SPAN_BYTES_PER_REDUCER = 3 << 20  # source bytes per posting-shuffle reducer
+
+
+def span_shuffle_partitions(spark: SparkSession, docs: DataFrame) -> int:
+    """Reducer count for the posting-list exchanges, derived from the
+    SOURCE table's on-disk bytes (metadata-only): ~3 MB of compressed
+    document parquet explodes into ~1M posting rows whose uncompressed
+    sort footprint fits a reducer comfortably — the ratio the 1M-rung
+    probe validated (378 MB source → 126 reducers ≈ the hand-pinned
+    128 that ran 102 s, where AQE's compressed-size coalescing merged
+    down to spilling reducers at 260 s and the 32-thread static default
+    OOM'd; docs/SCALING.md "Reducer sizing"). Floored at default
+    parallelism so small corpora keep full cores, capped at 4096 —
+    past that, per-task overhead dominates any local or single-digit-
+    terabyte run and a 100 TB cluster tunes the constant, not the
+    rule."""
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+        input_bytes,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    return max(par, min(4096, input_bytes(docs) // _SPAN_BYTES_PER_REDUCER))
 
 
 @register(
@@ -1030,6 +1052,14 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").cast("int").alias("p"),
         F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("s"),
     )
+    # Explicit span-keyed repartition with a SOURCE-SIZE-derived count
+    # (see span_shuffle_partitions): the df aggregate AND the hit join
+    # reuse this partitioning (no further exchange on s), and an
+    # explicit numPartitions is exempt from AQE coalescing — which
+    # targets COMPRESSED shuffle bytes and merges these ~10×-
+    # compressible posting rows down to reducers whose uncompressed
+    # sort spills (measured 260 s vs 102 s at the 1M rung).
+    pos = pos.repartition(span_shuffle_partitions(spark, docs), "s")
     # `pos` feeds both the df aggregate and the probe side of the hit
     # join. Deliberately NOT persisted: the explode is a map-only
     # codegen pass over compressed parquet, and caching its ~L-per-doc

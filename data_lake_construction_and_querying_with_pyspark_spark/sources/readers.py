@@ -188,3 +188,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each test table as a temp view for spark.sql querying."""
     for name, df in load_star_schema(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the files backing a scan — the cheap
+    (metadata-only) size signal operators use to derive shuffle
+    parallelism for exchanges whose in-memory width AQE cannot see.
+    AQE's partition coalescing targets COMPRESSED shuffle bytes; an
+    exploded posting list compresses ~10× (repeated n-gram strings),
+    so advisory-size coalescing can merge its reducers down to a
+    partition count whose uncompressed sort spills — the r3 1M-rung
+    pathology. Deriving the reducer count from source bytes up front
+    keeps rows-per-reducer bounded at any corpus size with no manual
+    knob (see ``dedup.span_shuffle_partitions``)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+    return total

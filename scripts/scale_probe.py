@@ -138,9 +138,13 @@ def main() -> None:
     from data_lake_construction_and_querying_with_pyspark_spark import get_spark
     from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
 
-    # At n ≥ 1M the exploded shingle index wants more reducers than the
-    # thread-count default (32 partitions × ~4M rows spill); the knob a
-    # real cluster sets via AQE target size is exposed here as an env.
+    # Since r4 the session itself plans every exchange at AQE
+    # initialPartitionNum=512 and coalesces down at runtime, so the 1M
+    # rungs no longer need a manual reducer count (r3 had to pin
+    # SCALE_PROBE_SHUFFLE=128: the exploded shingle index spilled at
+    # the 32-partition static default — docs/SCALING.md records the
+    # no-knob AQE run landing within noise of the pinned run). The env
+    # remains as an explicit override for A/B measurements only.
     shuffle = os.environ.get("SCALE_PROBE_SHUFFLE")
     spark = get_spark(
         app_name="scale_probe",
