@@ -213,7 +213,7 @@ COMMENTARY = {
         "BroadcastHashJoin onto the exploded postings (the corpus never "
         "shuffles on token content), df/length statistics are tiny keyed "
         "aggregates broadcast back, per-term contributions are "
-        "DECIMAL(20,12) before the per-doc SUM, and the final top-20 is "
+        "DECIMAL(38,12) before the per-doc SUM, and the final top-20 is "
         "TakeOrderedAndProject — per-partition heaps, no global sort."
     ),
     "gopher_quality_filters": (
@@ -221,6 +221,24 @@ COMMENTARY = {
         "Exchange anywhere in the plan, every ratio an integer-count "
         "division, rule booleans computed in the same codegen stage as "
         "the scan. At 100 TB the cost is exactly one pass over text."
+    ),
+    "dedup_repeated_spans": (
+        "Positional 5-gram span dedup with the SOURCE-SIZE-derived "
+        "reducer rule: one explicit span-keyed Exchange (numPartitions "
+        "from span_shuffle_partitions — exempt from AQE's compressed-"
+        "byte coalescing, which merged these ~10×-compressible posting "
+        "rows into spilling reducers) that BOTH the df aggregate and "
+        "the hit join reuse; the interval merge is two windows "
+        "partitioned by doc_id. Never a broadcast: the reference set "
+        "is the corpus itself."
+    ),
+    "knn_graph_top1": (
+        "Approximate kNN-graph edges: buckets assemble via corpus × "
+        "broadcast plane table (the audited BroadcastNestedLoopJoin), "
+        "candidates via the (tbl, bucket) equi-join, and the per-vector "
+        "argmax is a partial max_by that collapses map-side — the final "
+        "Exchange carries one row per vector, never the candidate "
+        "multiset."
     ),
 }
 
