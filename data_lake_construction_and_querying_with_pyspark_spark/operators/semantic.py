@@ -360,6 +360,14 @@ def semantic_dedup(
             F.col("v").alias("cent"),
         )
     )
+    # Materialize the SEED centroids like every later iteration's
+    # (_materialize_centroids): the shortlist reads the centroid table
+    # from three places (scoring buckets, anchors, the broadcast anchor
+    # array), and as a live subtree the k-row LIMIT sort would
+    # re-execute per reference; as driver literals it is one k×dim
+    # collect (~MB even at k=15 625). Floats round-trip exactly —
+    # determinism unchanged.
+    centroids = _materialize_centroids(spark, centroids)
     m = coarse_m(k)
     assigned = None
     for t in range(1, iters + 1):
