@@ -59,3 +59,47 @@ def test_cap_prunes_hot_shingles_from_index(spark):
     pruned_total = inv.join(cold, "s").count()
     assert hot_rows > 0  # fixture genuinely has hot shingles at this cap
     assert pruned_total == total - hot_rows
+
+
+def test_span_shuffle_partitions_source_size_rule(spark):
+    """The spans reducer rule: metadata-only source bytes / 3 MB,
+    floored at default parallelism, capped at 4096 — the fixture
+    (tiny) floors at parallelism; the 1M-rung geometry (378 MB source)
+    lands at 126 ≈ the hand-pinned 128 that docs/SCALING.md validated;
+    an absurd petabyte input hits the cap."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _SPAN_BYTES_PER_REDUCER,
+        span_shuffle_partitions,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+        input_bytes,
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    par = spark.sparkContext.defaultParallelism
+    b = input_bytes(docs)
+    assert 0 < b < _SPAN_BYTES_PER_REDUCER  # fixture is tiny on disk
+    assert span_shuffle_partitions(spark, docs) == par  # floors at parallelism
+    # the rule itself at the measured rungs (pure arithmetic)
+    assert max(par, min(4096, (378 << 20) // _SPAN_BYTES_PER_REDUCER)) == 126
+    assert max(par, min(4096, (1 << 50) // _SPAN_BYTES_PER_REDUCER)) == 4096
+
+
+def test_repeated_spans_plan_has_explicit_span_repartition(spark):
+    """The posting exchange must be the EXPLICIT span-keyed repartition
+    (REPARTITION_BY_NUM — exempt from AQE's compressed-byte coalescing,
+    the r4 finding), reused by both the df aggregate and the hit join:
+    exactly one Exchange keyed on the shingle column below the join."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        dedup_repeated_spans,
+    )
+
+    df = dedup_repeated_spans(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    par = spark.sparkContext.defaultParallelism
+    # explicit numPartitions on the span key (both DAG branches carry it)
+    import re
+
+    hits = re.findall(r"RepartitionByExpression \[s#\d+\], (\d+)", opt)
+    assert hits and all(int(h) == par for h in hits), opt
