@@ -93,40 +93,32 @@ def _d2_sql(v: str, c: str) -> str:
     )
 
 
-def _oracle_semantic(
-    k: int | None = None,
-    iters: int = N_ITERS,
-    tau: float = TAU,
-    nprobe: int = SEM_NPROBE,
-) -> str:
-    """Chained-CTE replay of the deterministic Lloyd's iterations with
-    the COARSE-ANCHOR SHORTLIST assignment (the path the Spark builder
-    runs — replaying flat all-k scoring against a shortlist builder
-    would hash-diverge the moment a shortlist misses a true argmin, so
-    the oracle reproduces the shortlist itself: anchors, centroid
-    buckets, per-vector probes, and the restricted argmin, every step
-    the same d2 expression and tie-break as the builder).
+def _shortlist_lloyds_ctes(
+    k_floor: int, k: int | None, iters: int, nprobe: int
+) -> list[str]:
+    """The shortlist-Lloyd's CTE chain shared by the SemDeDup oracle
+    and the IVF oracle (single-sourced: both engines' quantizer builds
+    are one construction, so their replays are one generator).
 
-    ``k=None`` (the registered default) derives k from the corpus size
-    inside the SQL itself — ``GREATEST(K_CELLS, COUNT(*) // TARGET_CELL)``
-    as a scalar-subquery LIMIT — and m as the exact integer sqrt of
-    that k (``MAX(i) WHERE i*i <= k``), so the oracle tracks
-    ``derive_k``/``coarse_m`` at every scale factor without
-    regeneration."""
+    ``k=None`` derives k in SQL (``GREATEST(k_floor, COUNT(*) //
+    TARGET_CELL)``) and m as the exact integer sqrt of that k; explicit
+    k inlines both as literals. Emits kk/mm/v/c0 then per iteration
+    an{t} (anchors) / ca{t} (centroid buckets) / pr{t} (vector probes)
+    / a{t} (restricted argmin) and, between iterations, the
+    decimal-exact update c{t}. All MATERIALIZED: DuckDB inlines plain
+    CTEs at every reference, and the shortlist chain references c{t-1}
+    and an{t} multiply per iteration — inlining re-expands the whole
+    Lloyd's prefix ~4× per iteration (measured ~200 s vs 0.7 s at
+    sf0.1). Values are unaffected — only evaluation count."""
     if k is not None:
         limit, m_expr = str(k), str(coarse_m(k))
     else:
         limit = "(SELECT k FROM kk)"
         m_expr = "(SELECT m FROM mm)"
     ctes = [
-        f"kk AS (SELECT GREATEST({K_CELLS}, COUNT(*) // {TARGET_CELL}) AS k FROM embeddings)",
+        f"kk AS (SELECT GREATEST({k_floor}, COUNT(*) // {TARGET_CELL}) AS k FROM embeddings)",
         "mm AS (SELECT GREATEST(1, (SELECT MAX(i) FROM range(1, 4096) t(i)"
         " WHERE i*i <= (SELECT k FROM kk))) AS m)",
-        # MATERIALIZED: DuckDB inlines plain CTEs at every reference;
-        # the shortlist chain references c{t-1} and an{t} multiply per
-        # iteration, so inlining re-expands the whole Lloyd's prefix
-        # ~4× per iteration (measured ~200 s at sf0.1 vs ~2 s
-        # materialized). Values are unaffected — only evaluation count.
         "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""c0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cent
@@ -174,6 +166,30 @@ def _oracle_semantic(
                           FROM a{t})
                     GROUP BY cell, pos) GROUP BY cell)"""
             )
+    return ctes
+
+
+def _oracle_semantic(
+    k: int | None = None,
+    iters: int = N_ITERS,
+    tau: float = TAU,
+    nprobe: int = SEM_NPROBE,
+) -> str:
+    """Chained-CTE replay of the deterministic Lloyd's iterations with
+    the COARSE-ANCHOR SHORTLIST assignment (the path the Spark builder
+    runs — replaying flat all-k scoring against a shortlist builder
+    would hash-diverge the moment a shortlist misses a true argmin, so
+    the oracle reproduces the shortlist itself: anchors, centroid
+    buckets, per-vector probes, and the restricted argmin, every step
+    the same d2 expression and tie-break as the builder).
+
+    ``k=None`` (the registered default) derives k from the corpus size
+    inside the SQL itself — ``GREATEST(K_CELLS, COUNT(*) // TARGET_CELL)``
+    as a scalar-subquery LIMIT — and m as the exact integer sqrt of
+    that k (``MAX(i) WHERE i*i <= k``), so the oracle tracks
+    ``derive_k``/``coarse_m`` at every scale factor without
+    regeneration."""
+    ctes = _shortlist_lloyds_ctes(K_CELLS, k, iters, nprobe)
     final = f"a{iters}"
     return f"""
     WITH {','.join(ctes)},
@@ -409,36 +425,14 @@ IVF_TOP_K = 10
 
 
 def _oracle_ivf() -> str:
-    """Chained-CTE DuckDB replay of the deterministic IVF: the same
-    Lloyd's CTE chain as the SemDeDup oracle (k derived in SQL), then
-    per-query nprobe nearest cells by the identical d2 expression, and
-    exact-cosine top-k inside the probed cells only."""
-    limit = f"(SELECT GREATEST({IVF_MIN_CELLS}, COUNT(*) // {TARGET_CELL}) FROM embeddings)"
-    ctes = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""c0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cent
-        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {limit}))""",
-    ]
-    for t in range(1, IVF_ITERS + 1):
-        ctes.append(
-            f"""a{t} AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT q.vec_id, q.v, c.cell,
-                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                           ORDER BY {_d2_sql('q.v', 'c.cent')}, c.cell) AS rn
-                FROM v q, c{t - 1} c) WHERE rn = 1)"""
-        )
-        if t < IVF_ITERS:
-            ctes.append(
-                f"""c{t} AS MATERIALIZED (
-                SELECT cell, list(m ORDER BY pos) AS cent FROM (
-                    SELECT cell, pos,
-                           CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
-                    FROM (SELECT cell, generate_subscripts(v,1) AS pos, unnest(v) AS val
-                          FROM a{t})
-                    GROUP BY cell, pos) GROUP BY cell)"""
-            )
+    """Chained-CTE DuckDB replay of the deterministic IVF: the SAME
+    shortlist-Lloyd's CTE chain as the SemDeDup oracle
+    (``_shortlist_lloyds_ctes`` — quantizer build single-sourced, r4),
+    then per-query nprobe nearest cells by the identical d2 expression
+    over the FULL centroid table (queries are few — flat scoring of k
+    centroids per query is the right shape there), and exact-cosine
+    top-k inside the probed cells only."""
+    ctes = _shortlist_lloyds_ctes(IVF_MIN_CELLS, None, IVF_ITERS, SEM_NPROBE)
     return f"""
     WITH {','.join(ctes)},
     nm AS (SELECT vec_id, v, cell,
@@ -474,7 +468,9 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     as SemDeDup, so both engines derive identical cells, identical
     probes, and identical top-k).
 
-    Index build: k = max(16, n // 64) cells, 2 Lloyd's iterations.
+    Index build: k = max(16, n // 64) cells, 2 Lloyd's iterations,
+    assignment via the same coarse-anchor shortlist as semantic_dedup
+    (m = isqrt(k), nprobe = 3 — r4; the oracle replays it).
     Query: each of the 5 demo vectors probes its IVF_NPROBE=2 nearest
     centroids (same d2 expression + cell tie-break both engines) and
     exact-cosine-reranks only those cells — ~nprobe/k of the corpus
@@ -498,9 +494,16 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("cent"),
         )
     )
+    # Quantizer build uses the SAME coarse-anchor shortlist as
+    # semantic_dedup (r4: the build was the last flat O(n·k·d) Lloyd's
+    # in the repo); seed centroids materialized like every later
+    # iteration's. The QUERY path below stays flat — 5 queries × k
+    # centroids is trivial at any k.
+    centroids = _materialize_centroids(spark, centroids)
+    m = coarse_m(k)
     assigned = None
     for t in range(1, IVF_ITERS + 1):
-        assigned = kmeans_assign(base, centroids)
+        assigned = shortlist_assign(base, centroids, m, SEM_NPROBE)
         if t < IVF_ITERS:
             centroids = _materialize_centroids(spark, kmeans_update(assigned))
     # `centroids` is now the table that produced the final assignment

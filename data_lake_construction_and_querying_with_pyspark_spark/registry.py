@@ -97,6 +97,7 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_embedding_cosine_pairs",  # now the scaled geometry (r3 directive #3)
     "dedup_embedding_cosine_pairs_demo_fixed_geometry",  # the old fixed-geometry entry
     "semantic_dedup_embeddings",  # IVF-shortlist assignment (r3 directive #2)
+    "knn_ivf_deterministic",  # quantizer build now shortlist-assigned too (r4)
     # -- oldest driver rows: green only in r1 --
     "case_when_price_buckets",
     "cheapest_supplier_per_part",
@@ -136,7 +137,9 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "text_fingerprints",
     "text_language_id",
     "text_quality_scores",
-    "text_regex_token_count",
+    # (text_regex_token_count rotates to r5 — its slot went to the
+    # changed knn_ivf_deterministic; it stays r2-green + locally
+    # checked by tests/test_queries_oracle.py)
     # -- r3-green sentinels --
     "flagship_between",
     "pricing_summary",
