@@ -607,15 +607,12 @@ _CLONE_MOD = 50  # every 50th vector gets a planted near-identical clone
 _CLONE_OFF = 1_000_000  # clone vec_id offset (disjoint from the corpus id space)
 
 
-def _oracle_cosine_pairs_scaled(dim: int = 64) -> str:
-    """DuckDB replay of the scaled-geometry ``dedup_embedding_cosine_pairs``: the
-    seeded-LCG hyperplanes are deterministic Python lists, so they embed
-    into the SQL as double literals (repr() is shortest-round-trip — the
-    parsed double is bit-identical to the one Spark broadcasts via
-    ``F.lit``). Sign of a sequential-fold dot product is then replayed
-    exactly by ``list_dot_product``, so both engines derive the same
-    candidate set, and the exact-cosine verify is the already-proven
-    bit-identical fold."""
+def _scaled_pairs_ctes(dim: int = 64) -> str:
+    """The scaled-geometry candidate CTE chain (aug corpus with planted
+    clones, normalized vectors, seeded-LCG hyperplane bands, distinct
+    candidate pairs) shared by the pairs oracle and the embedding
+    canonical-corpus oracle. MATERIALIZED where multiply referenced
+    (DuckDB inlines plain CTEs per reference)."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
         _hyperplanes,
     )
@@ -630,21 +627,34 @@ def _oracle_cosine_pairs_scaled(dim: int = 64) -> str:
         )
         branches.append(f"SELECT vec_id, {t} AS tbl, {key} AS key FROM e")
     bands = " UNION ALL ".join(branches)
-    return f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    aug AS (
+    return f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS MATERIALIZED (
         SELECT vec_id, v FROM base
         UNION ALL
         SELECT vec_id + {_CLONE_OFF}, list_transform(v, x -> x + 0.01)
         FROM base WHERE vec_id % {_CLONE_MOD} = 0
     ),
-    e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
-    bands AS ({bands}),
+    e AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
+    bands AS MATERIALIZED ({bands}),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM bands a JOIN bands b ON a.tbl = b.tbl AND a.key = b.key
         WHERE a.vec_id < b.vec_id
-    )
+    )"""
+
+
+def _oracle_cosine_pairs_scaled(dim: int = 64) -> str:
+    """DuckDB replay of the scaled-geometry ``dedup_embedding_cosine_pairs``:
+    the seeded-LCG hyperplanes are deterministic Python lists, so they embed
+    into the SQL as double literals (repr() is shortest-round-trip — the
+    parsed double is bit-identical to the one Spark broadcasts via
+    ``F.lit``). Sign of a sequential-fold dot product is then replayed
+    exactly by ``list_dot_product``, so both engines derive the same
+    candidate set, and the exact-cosine verify is the already-proven
+    bit-identical fold. Candidate CTEs shared with the canonical-corpus
+    oracle via ``_scaled_pairs_ctes``."""
+    return f"""
+    WITH {_scaled_pairs_ctes(dim)}
     SELECT vec_a, vec_b,
            list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
     FROM cand
@@ -890,6 +900,69 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = dedup_cluster_assignment(spark, sf_dir)
     drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
+
+
+@register(
+    "dedup_canonical_corpus_embeddings",
+    oracle=f"""
+    WITH RECURSIVE {{ctes}},
+    pairs AS (
+        SELECT vec_a, vec_b FROM cand
+        JOIN e ea ON ea.vec_id = cand.vec_a
+        JOIN e eb ON eb.vec_id = cand.vec_b
+        WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) > {_SCALED_TAU}
+    ),
+    edges AS MATERIALIZED (
+        SELECT vec_a AS u, vec_b AS v FROM pairs
+        UNION ALL
+        SELECT vec_b AS u, vec_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    cc AS (SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT a.vec_id
+    FROM aug a LEFT JOIN cc ON a.vec_id = cc.vec_id
+    WHERE cc.vec_id IS NULL OR cc.vec_id = cc.cluster_id
+    """.format(ctes=_scaled_pairs_ctes()),
+)
+def dedup_canonical_corpus_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING ladder's deliverable — the ngram
+    ``dedup_canonical_corpus`` pipeline re-based on semantic-space
+    pairs: scaled-LSH cosine pairs (τ=0.9 over the planted-clone
+    corpus) → connected components → keep-min-id → surviving corpus by
+    anti-join. On the planted structure the invariant is sharp: every
+    clone clusters with exactly its original and the original (lower
+    id) is kept, so the survivors must be precisely the 500 base
+    vectors — any candidate-generation, clustering, or keep-list bug
+    surfaces as a clone surviving or an original dropping, and the
+    oracle hash-checks it end to end through a recursive CTE.
+
+    Scale shape: identical to the ngram canonical corpus — the pair
+    stage is the docs/SCALING.md-measured sublinear LSH construction,
+    components run on the (tiny, filtered) edge list, and the final
+    anti-join broadcasts the drop-list (≈ duplicate fraction), never
+    shuffling the corpus."""
+    pairs = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    drop = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("vec_id")
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    aug = base.unionByName(clones)
+    return aug.select("vec_id").join(drop, "vec_id", "left_anti")
 
 
 @register(
