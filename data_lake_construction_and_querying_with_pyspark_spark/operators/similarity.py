@@ -467,3 +467,92 @@ def knn_graph_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(best)
         .select("vec_id", F.col("b.nbr_id").alias("nbr_id"), F.col("b.cosine").alias("cosine"))
     )
+
+
+_GRAPH_TOP_K = 3
+
+
+def _oracle_knn_graph_topk(dim: int = 64) -> str:
+    """Top-k variant of the kNN-graph oracle: identical bands and
+    directional candidates, ROW_NUMBER rank ≤ k emitted as the edge
+    rank (the Spark builder's window tie-break is the same
+    (cosine DESC, nbr_id) ordering)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _scaled_pairs_ctes,
+    )
+
+    # _scaled_pairs_ctes ends with the UNDIRECTED cand (vec_a < vec_b);
+    # the graph needs directional candidates, so emit both directions.
+    return f"""
+    WITH {_scaled_pairs_ctes(dim)},
+    dcand AS (
+        SELECT vec_a AS vec_id, vec_b AS nbr_id FROM cand
+        UNION ALL
+        SELECT vec_b AS vec_id, vec_a AS nbr_id FROM cand
+    ),
+    scored AS (
+        SELECT dcand.vec_id, dcand.nbr_id,
+               list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+        FROM dcand
+        JOIN e ea ON ea.vec_id = dcand.vec_id
+        JOIN e eb ON eb.vec_id = dcand.nbr_id
+    )
+    SELECT vec_id, nbr_id, cosine, edge_rank FROM (
+        SELECT vec_id, nbr_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, nbr_id) AS INT) AS edge_rank
+        FROM scored) WHERE edge_rank <= {_GRAPH_TOP_K}
+    """
+
+
+@register("knn_graph_topk", oracle=_oracle_knn_graph_topk())
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 kNN-graph edges per vector over the same scaled-LSH
+    bucket candidates as ``knn_graph_top1`` — the edge list at the
+    degree a graph-clustering pass actually consumes (top-1 graphs
+    fragment; degree-3 keeps components connected enough to cluster).
+
+    Plan-shape contrast with top1 (deliberate): top1 aggregates with a
+    map-side ``max_by``; here the ranked filter is a window that Spark
+    compiles to WindowGroupLimit — a per-partition top-k pass runs
+    BEFORE the exchange on vec_id, so the shuffle carries at most k
+    rows per (vector, map partition), never the full candidate
+    multiset. Same bounded-shuffle guarantee, windowed instead of
+    aggregated — the pattern per-doc TF-IDF term ranking uses."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_PLANES,
+        _SCALED_TABLES,
+    )
+    from pyspark import StorageLevel
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    e = with_norm(base.unionByName(clones)).persist(StorageLevel.MEMORY_AND_DISK)
+    flat = lsh_multi_buckets_flat(
+        e, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        flat.alias("a")
+        .join(flat.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cand.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .select("vec_id", "nbr_id", cosine.alias("cosine"))
+        .withColumn("edge_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("edge_rank") <= _GRAPH_TOP_K)
+    )
