@@ -152,6 +152,7 @@ _NESTED_LOOP_OK = {
     "knn_ivf_deterministic",  # Lloyd's assign + query × broadcast centroid probes
     "dedup_embedding_cosine_pairs",  # corpus × broadcast 128-row plane table (scaled geometry)
     "knn_graph_top1",  # same corpus × broadcast plane-table bucket construction
+    "knn_graph_topk",  # same construction, windowed top-3 variant
     "join_key_skew_profile",  # keys × broadcast 1-row total
     "semantic_dedup_embeddings",  # corpus × broadcast k-centroid table (Lloyd's assign)
     "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
