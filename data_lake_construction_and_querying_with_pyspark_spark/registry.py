@@ -74,75 +74,71 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-4 rotation (VERDICT r3 directive #1): the 7 round-3 additions
-# that have never received a driver row go first, then the entries
-# whose builder/oracle CHANGED this round (the cosine-pairs rename per
-# directive #3 and semantic_dedup's IVF-shortlist assignment per
-# directive #2 — a green history under an old definition proves nothing
-# about the new one), then re-verification slots ordered by driver-row
-# age: the 20 oracle-bearing queries whose only green row is r1, the 18
-# whose latest row is r2, and finally r3-green sentinels. Union of
-# r1∪r2∪r3∪r4 then covers all oracle-bearing entries, every row ≤2
-# rounds old.
+# Round-5 rotation (VERDICT r4 directive #1): the 3 round-4 additions
+# that have never received a driver row go first (closing cumulative
+# coverage), then ALL 23 entries whose latest driver row is r2 (they
+# would otherwise age past the "no row older than 2 rounds" contract),
+# then 24 re-verification picks from the 44 r3-aged entries —
+# prioritized by operator complexity (the dedup/ANN/pipeline ladder and
+# statistical operators over twice-stable pure-SQL packs). The 20
+# r3-aged entries left out (TPC-H Q-series and events trio, each green
+# r3 under unchanged definitions) rotate into r6's window; everything
+# outside the window stays pinned locally by
+# tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-checked: round-3 additions --
-    "bm25_topk_documents",
-    "tfidf_top_terms_per_doc",
-    "gopher_quality_filters",
-    "jsonl_roundtrip_documents",
-    "orc_roundtrip_customer",
-    "pagerank_trade_network",
-    "dedup_repeated_spans",
-    # -- changed in round 4 (rename / new assignment path) --
-    "dedup_embedding_cosine_pairs",  # now the scaled geometry (r3 directive #3)
-    "dedup_embedding_cosine_pairs_demo_fixed_geometry",  # the old fixed-geometry entry
-    "semantic_dedup_embeddings",  # IVF-shortlist assignment (r3 directive #2)
-    "knn_ivf_deterministic",  # quantizer build now shortlist-assigned too (r4)
-    # -- oldest driver rows: green only in r1 --
-    "case_when_price_buckets",
-    "cheapest_supplier_per_part",
-    "date_functions_pack",
-    "distinct_flag_status",
-    "edit_distance_similar_parts",
-    "important_parts_q11",
-    "in_subquery_urgent_customers",
-    "lateral_explode_top_tokens",
-    "percentiles_by_segment",
-    "product_profit_q9",
-    "scalar_subquery_above_avg",
-    "set_except_priorities",
-    "set_intersect_priorities",
-    "set_union_priorities",
-    "string_functions_pack",
-    "two_nation_trade_q7",
-    "union_by_name_projections",
-    "window_order_gap_days",
-    "window_rank_pack",
-    "window_trailing_30day_spend",
-    # -- next oldest: latest driver row is r2 --
-    "array_ops_embeddings",
-    "cohort_retention",
-    "corpus_prep_pipeline",
-    "dedup_cluster_assignment",
-    "dedup_fingerprint_documents",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_hamming_pairs",
-    "dedup_simhash_signatures",
-    "events_gap_fill_resample",
-    "events_sliding_windows",
-    "events_user_sessions",
-    "funnel_conversion",
-    "range_join_quantity_band",
-    "text_chunk_windows",
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    # (text_regex_token_count rotates to r5 — its slot went to the
-    # changed knn_ivf_deterministic; it stays r2-green + locally
-    # checked by tests/test_queries_oracle.py)
-    # -- r3-green sentinels --
-    "flagship_between",
-    "pricing_summary",
+    # -- never driver-checked: round-4 additions --
+    "knn_graph_top1",
+    "knn_graph_topk",
+    "dedup_canonical_corpus_embeddings",
+    # -- oldest driver rows: latest green is r2 (all 23) --
+    "conditional_agg_status_revenue",
+    "cte_top_revenue_nations",
+    "cube_flags",
+    "filter_project_pushdown",
+    "grouping_sets_priority_status",
+    "join_anti_customers_no_orders",
+    "join_broadcast_chain",
+    "join_outer_customer_orders",
+    "join_semi_customers_with_f_orders",
+    "json_extract_events",
+    "local_supplier_volume_q5",
+    "map_functions_pack",
+    "market_share_q8",
+    "math_functions_pack",
+    "null_handling_pack",
+    "pivot_status_counts",
+    "rollup_region_nation",
+    "segment_stats",
+    "shipping_priority_q3",
+    "text_regex_token_count",
+    "topk_global_orders",
+    "window_running_total",
+    "window_topk_per_customer",
+    # -- r3-aged re-verification picks (24 of 44; rest rotate r6) --
+    "dedup_canonical_corpus",
+    "dedup_exact_documents",
+    "dedup_minhash_near_dup",
+    "knn_brute_force",
+    "decontamination_overlap",
+    "sequence_packing",
+    "boilerplate_token_scrub",
+    "source_mix_draw",
+    "weighted_systematic_draw",
+    "deterministic_shuffle",
+    "train_val_test_split",
+    "pii_anonymize_customers",
+    "expectations_orders",
+    "snapshot_diff_orders",
+    "table_profile_events",
+    "join_key_skew_profile",
+    "corr_quantity_price_exact",
+    "histogram_order_totalprice",
+    "outlier_orders_zscore",
+    "unigram_rarity_scores",
+    "text_token_stats",
+    "doc_repetition_signals",
+    "asof_latest_order_per_event",
+    "recursive_transition_paths",
 )
 
 
