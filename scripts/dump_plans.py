@@ -78,14 +78,6 @@ COMMENTARY = {
         "key, one sort — compare with a per-event range probe which "
         "would be a nested-loop join."
     ),
-    "dedup_embedding_cosine_pairs_demo_fixed_geometry": (
-        "Embedding near-dup without a cross join: candidates come from "
-        "the 16-band sign-bit equi-join over the persisted normalized "
-        "vectors (SortMergeJoin/ShuffledHashJoin on (band, key)), then "
-        "two vec_id equi-joins attach vectors for the exact-cosine "
-        "verify. No CartesianProduct / BroadcastNestedLoopJoin node "
-        "anywhere — candidate volume scales with Σ bucket², not n²."
-    ),
     "dedup_ngram_jaccard_pairs": (
         "Document-frequency pruning in the shingle pipeline: the "
         "df-filter (HashAggregate on shingle → df <= cap) gates the "

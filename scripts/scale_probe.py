@@ -114,8 +114,9 @@ _PROBE_OPS = [
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_near_dup",
     "dedup_simhash_hamming_pairs",
-    "dedup_embedding_cosine_pairs_demo_fixed_geometry",  # r4 rename of the fixed-geometry entry
-
+    # dedup_embedding_cosine_pairs_demo_fixed_geometry was deregistered
+    # in r5 (VERDICT r4 directive #4) — its saturation numbers are the
+    # worked geometry-contrast example in docs/SCALING.md.
     "dedup_cluster_assignment",
     "text_quality_scores",
     "text_language_id",
@@ -175,7 +176,6 @@ def main() -> None:
         "dedup_ngram_jaccard_pairs",
         "dedup_minhash_near_dup",
         "dedup_simhash_hamming_pairs",
-        "dedup_embedding_cosine_pairs_demo_fixed_geometry",
         "dedup_cluster_assignment",
     }
 
