@@ -79,7 +79,16 @@ def coarse_m(k: int) -> int:
     ~2·nprobe·√k·d per vector vs the flat assignment's k·d. Exact
     INTEGER sqrt (``math.isqrt``), replayed in SQL as
     ``MAX(i) WHERE i*i <= k`` — never ``FLOOR(SQRT(k))``, whose double
-    rounding could disagree off-by-one at perfect squares."""
+    rounding could disagree off-by-one at perfect squares. The SQL
+    replay enumerates ``range(1, 4096)``, capping its answer at 4095;
+    assert rather than silently diverge if a derived k ever reaches
+    4095² (~16.8M cells ⇒ n > ~1e9 docs — raise the oracle's range
+    bound alongside this guard)."""
+    assert k < 4095**2, (
+        f"coarse_m(k={k}): the DuckDB oracle's isqrt replay enumerates "
+        "range(1, 4096) and would cap at 4095 — raise the range bound in "
+        "_shortlist_lloyds_ctes before clustering at this k"
+    )
     return max(1, math.isqrt(k))
 
 
@@ -236,7 +245,11 @@ def _d2_col(v, cent) -> F.Column:
 
 
 def shortlist_assign(
-    base: DataFrame, centroids: DataFrame, m: int, nprobe: int = SEM_NPROBE
+    base: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    nprobe: int = SEM_NPROBE,
+    broadcast_buckets: bool = True,
 ) -> DataFrame:
     """One Lloyd's assignment through a COARSE-ANCHOR SHORTLIST — the
     100 TB replacement for flat all-k scoring (VERDICT r3 directive #2:
@@ -262,7 +275,18 @@ def shortlist_assign(
     zero shuffle, no n·m window; the shortlist scoring is a broadcast
     equi-join on acell (k rows) and the argmin is the same map-side
     ``min_by`` collapse as flat assignment, so the only exchange in the
-    whole step still carries exactly n rows."""
+    whole step still carries exactly n rows.
+
+    ``broadcast_buckets=False`` swaps the bucketed-centroid broadcast
+    for a shuffled equi-join on acell — the escape hatch for k large
+    enough that k×dim doubles strains the broadcast budget (VERDICT r4
+    finding #3: ~80 MB at a 10M-doc rung's k=156 250). The shuffled
+    form re-partitions probed (n·nprobe skinny rows) and bucketed (k
+    rows) on acell; the min_by argmin then combines map-side partials
+    per vec_id, so the final exchange carries ≤ n·nprobe partial rows
+    instead of the broadcast form's exactly-n — bounded either way.
+    Values are identical: the join key and the d2/tie-break arithmetic
+    do not depend on the join strategy."""
     anchors = (
         centroids.orderBy("cell")
         .limit(m)
@@ -297,8 +321,9 @@ def shortlist_assign(
         .select("vec_id", "v", F.col("p.acell").alias("acell"))
     )
     best = F.min_by(F.struct("cell", "v"), F.struct("d2", "cell")).alias("b")
+    buckets = F.broadcast(bucketed) if broadcast_buckets else bucketed
     return (
-        probed.join(F.broadcast(bucketed), "acell")
+        probed.join(buckets, "acell")
         .select("vec_id", "v", "cell", _d2_col(F.col("v"), F.col("cent")).alias("d2"))
         .groupBy("vec_id")
         .agg(best)
@@ -356,34 +381,12 @@ def semantic_dedup(
     O(n·k·d). ``flat_assign=True`` keeps the all-k scorer available as
     the agreement baseline docs/SCALING.md measures the shortlist
     against (and for micro-corpora where k ≈ m anyway)."""
-    # Session-owned persists (repo convention — callers clearCache):
-    # `base` feeds every iteration's assignment; `nm` feeds both sides
-    # of the pair join plus the final projection.
+    # Session-owned persist (repo convention — callers clearCache):
+    # `base` feeds every iteration's assignment. Seed-centroid details
+    # (constant non-foldable window key, driver materialization):
+    # _seed_centroids.
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
-    # Constant partition key: this window numbers only the k LIMIT'd
-    # centroid seed rows (driver-bounded), but an unpartitioned Window
-    # logs the scary `WindowExec: No Partition Defined` warning — keep
-    # the log clean so REAL single-partition regressions stay visible.
-    # The key must be NON-FOLDABLE (Spark 4's EliminateWindowPartitions
-    # strips literals back out): an empty substring of the id column is
-    # constant-valued but survives, numbering-identical.
-    init_w = Window.partitionBy(F.substring(F.col("vec_id").cast("string"), 1, 0)).orderBy("vec_id")
-    centroids = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
-            F.col("v").alias("cent"),
-        )
-    )
-    # Materialize the SEED centroids like every later iteration's
-    # (_materialize_centroids): the shortlist reads the centroid table
-    # from three places (scoring buckets, anchors, the broadcast anchor
-    # array), and as a live subtree the k-row LIMIT sort would
-    # re-execute per reference; as driver literals it is one k×dim
-    # collect (~MB even at k=15 625). Floats round-trip exactly —
-    # determinism unchanged.
-    centroids = _materialize_centroids(spark, centroids)
+    centroids = _seed_centroids(spark, base, k)
     m = coarse_m(k)
     assigned = None
     for t in range(1, iters + 1):
@@ -394,6 +397,15 @@ def semantic_dedup(
         )
         if t < iters:
             centroids = _materialize_centroids(spark, kmeans_update(assigned))
+    return mark_within_cell_dups(assigned, tau)
+
+
+def mark_within_cell_dups(assigned: DataFrame, tau: float) -> DataFrame:
+    """SemDeDup's pair stage over a final assignment (vec_id, v, cell):
+    exact cosine inside each cell only (candidates bounded by Σ|cell|²,
+    clusters independent → per-cell parallelism, no cross-cell data
+    movement), emitting (vec_id, cell_id, is_semantic_dup) where a
+    vector is a dup iff a LOWER-id cell-mate has cosine ≥ tau."""
     nm = assigned.withColumn("norm", F.sqrt(dot("v", "v"))).persist()
     i, j = nm.alias("i"), nm.alias("j")
     cosine = dot("i.v", "j.v") / (F.col("i.norm") * F.col("j.norm"))
@@ -415,6 +427,93 @@ def semantic_dedup(
             F.col("d.vec_id").isNotNull().alias("is_semantic_dup"),
         )
     )
+
+
+SAMPLE_PER_CELL = 8  # training vectors per centroid in the sample-trained path
+_BROADCAST_BUCKET_BYTES_CAP = 64 * 1024 * 1024  # auto-shuffle above 64 MB of centroids
+
+
+def _seed_centroids(spark: SparkSession, base: DataFrame, k: int) -> DataFrame:
+    """Deterministic seed centroid table: the k lowest-vec_id vectors,
+    numbered 0..k-1, materialized to driver literals (the shortlist
+    reads the centroid table from three places; as a live subtree the
+    k-row LIMIT sort would re-execute per reference). The constant
+    non-foldable partition key keeps the k-row window warning-free —
+    see semantic_dedup for the full rationale."""
+    init_w = Window.partitionBy(
+        F.substring(F.col("vec_id").cast("string"), 1, 0)
+    ).orderBy("vec_id")
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
+            F.col("v").alias("cent"),
+        )
+    )
+    return _materialize_centroids(spark, centroids)
+
+
+def semantic_dedup_sampled(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = K_CELLS,
+    iters: int = N_ITERS,
+    tau: float = TAU,
+    nprobe: int = SEM_NPROBE,
+    sample_per_cell: int = SAMPLE_PER_CELL,
+    broadcast_buckets: bool | None = None,
+) -> DataFrame:
+    """SemDeDup with SAMPLE-TRAINED centroids — the 10M-ready escape
+    from the full-corpus shortlist's n^1.5 total (VERDICT r4 directive
+    #3 / docs/SCALING.md "beyond 1M"). Semantics mirror
+    ``semantic_dedup`` exactly except WHERE the Lloyd's updates learn
+    from: instead of iters full-corpus assignment passes (each
+    O(n·√k·d)), the centroid table trains on a fixed-rate deterministic
+    sample of ~``sample_per_cell·k`` vectors (hashed-id systematic draw
+    — ``xxhash64(vec_id) % stride == 0``, RNG-free, scan-time
+    projection), and the FULL corpus is assigned ONCE with the trained
+    table. Total cost: (iters−1)·O(s·√k·d) training + one O(n·√k·d)
+    assignment — the n^1.5 term is paid once, not per iteration, and
+    training is corpus-size-independent at fixed sample_per_cell.
+
+    Alignment with ``semantic_dedup``: seeds are the SAME k lowest
+    vec_id vectors of the FULL corpus, so cell labels track the same
+    seed lineage and per-vector assignments are directly comparable —
+    tests/test_semantic_sampled.py measures the agreement (and when the
+    stride degenerates to 1 the sample IS the corpus, making the two
+    paths bit-identical by construction).
+
+    ``broadcast_buckets=None`` auto-sizes the shortlist's bucketed-
+    centroid join: broadcast while k·dim doubles fit the 64 MB budget,
+    shuffled equi-join on acell above it (the r4 finding-#3 ceiling —
+    ~80 MB at k=156 250, dim 64). The decision is logged in the plan,
+    not silent: .explain shows BroadcastHashJoin vs SortMerge/
+    ShuffledHashJoin on acell."""
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    n = base.count()
+    if broadcast_buckets is None:
+        first = base.select(F.size("v").alias("d")).first()
+        dim = first["d"] if first else 0
+        broadcast_buckets = k * dim * 8 <= _BROADCAST_BUCKET_BYTES_CAP
+    target = min(n, max(k, sample_per_cell * k))
+    stride = max(1, n // max(1, target))
+    sample = (
+        base
+        if stride == 1
+        else base.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0).persist()
+    )
+    centroids = _seed_centroids(spark, base, k)
+    m = coarse_m(k)
+    for _ in range(iters - 1):
+        assigned_s = shortlist_assign(
+            sample, centroids, m, nprobe, broadcast_buckets=broadcast_buckets
+        )
+        centroids = _materialize_centroids(spark, kmeans_update(assigned_s))
+    final = shortlist_assign(
+        base, centroids, m, nprobe, broadcast_buckets=broadcast_buckets
+    )
+    return mark_within_cell_dups(final, tau)
 
 
 IVF_MIN_CELLS = 16  # floor of the derived IVF cell count
@@ -485,21 +584,12 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(IVF_MIN_CELLS, emb.count() // TARGET_CELL)
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
-    init_w = Window.partitionBy(F.substring(F.col("vec_id").cast("string"), 1, 0)).orderBy("vec_id")
-    centroids = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
-            F.col("v").alias("cent"),
-        )
-    )
     # Quantizer build uses the SAME coarse-anchor shortlist as
     # semantic_dedup (r4: the build was the last flat O(n·k·d) Lloyd's
-    # in the repo); seed centroids materialized like every later
-    # iteration's. The QUERY path below stays flat — 5 queries × k
-    # centroids is trivial at any k.
-    centroids = _materialize_centroids(spark, centroids)
+    # in the repo); seed centroids via the shared _seed_centroids. The
+    # QUERY path below stays flat — 5 queries × k centroids is trivial
+    # at any k.
+    centroids = _seed_centroids(spark, base, k)
     m = coarse_m(k)
     assigned = None
     for t in range(1, IVF_ITERS + 1):

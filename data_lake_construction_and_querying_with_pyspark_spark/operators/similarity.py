@@ -421,12 +421,15 @@ def knn_graph_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates are an equi-join on (tbl, bucket) — volume
     ∝ Σ bucket², kept subquadratic by the 65 536-key bands (the
-    docs/SCALING.md-measured geometry); the per-vector argmax is a
-    map-side ``max_by`` partial aggregate (candidates for a vector are
-    co-partitioned by the candidate join), so the final exchange
-    carries one row per vector, never the candidate multiset. At
-    100 TB, k>1 variants swap ``max_by`` for the same bounded
-    TakeOrderedAndProject pattern as BM25's top-k."""
+    docs/SCALING.md-measured geometry) — with cosine scored INSIDE the
+    join (``_bucket_scored_candidates``: no exchange ever carries
+    vectors attached to candidates); the per-vector argmax is a
+    map-side ``max_by`` partial aggregate over the scored rows, so the
+    final exchange carries one row per vector, never the candidate
+    multiset. max_by is idempotent over the bit-identical multi-table
+    duplicate rows, so this variant needs NO distinct at all — the
+    top-k variant (``knn_graph_topk``) is the one that dedups before
+    ranking."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
         _CLONE_MOD,
         _CLONE_OFF,
@@ -443,33 +446,95 @@ def knn_graph_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     e = with_norm(base.unionByName(clones)).persist(StorageLevel.MEMORY_AND_DISK)
-    flat = lsh_multi_buckets_flat(
-        e, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = (
-        flat.alias("a")
-        .join(flat.alias("b"), ["tbl", "bucket"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    scored = _bucket_scored_candidates(e, _SCALED_TABLES, _SCALED_PLANES)
     best = F.max_by(
         F.struct("nbr_id", "cosine"), F.struct(F.col("cosine"), (-F.col("nbr_id")).alias("neg"))
     ).alias("b")
     return (
-        cand.join(ea, "vec_id")
-        .join(eb, "nbr_id")
-        .select("vec_id", "nbr_id", cosine.alias("cosine"))
-        .groupBy("vec_id")
+        scored.groupBy("vec_id")
         .agg(best)
         .select("vec_id", F.col("b.nbr_id").alias("nbr_id"), F.col("b.cosine").alias("cosine"))
     )
 
 
 _GRAPH_TOP_K = 3
+
+
+def _bucket_scored_candidates(
+    e: DataFrame, n_tables: int, n_planes: int
+) -> DataFrame:
+    """Directional candidate edges with cosine scored INSIDE the LSH
+    bucket self-join: (vec_id, nbr_id, cosine), one row per (pair,
+    colliding table) — callers dedup (``distinct`` for ranked top-k,
+    or nothing before an idempotent ``max_by``).
+
+    Why in-join scoring (r5, learned at the 1M rung): the
+    candidates-first shape — distinct skinny pairs, then two vec_id
+    joins to re-attach vectors — re-shuffles the full ~100M-row
+    candidate set WITH 64-dim vectors attached (~66 GB of exchange at
+    1M docs; the probe run died on disk). Here the vectors ride the
+    SMALL side instead: each vector is replicated once per table
+    (n·n_tables heavy rows — ~4 GB at 1M), the (tbl, bucket) self-join
+    co-locates both endpoints, and cosine is computed in the join
+    projection so every downstream exchange carries only 24-byte
+    scored rows. Multi-table pair collisions cost a few redundant
+    64-mult dot products (pure codegen'd CPU) — the right trade
+    against tens of GB of shuffle. The dedup stays value-exact:
+    cosine is the same sequential fold on the same doubles in every
+    colliding table, so duplicate rows are bit-identical."""
+    from pyspark import StorageLevel
+
+    heavy = (
+        lsh_multi_buckets_flat(e, n_tables=n_tables, n_planes=n_planes)
+        .join(e, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cosine = dot("a.v", "b.v") / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        heavy.alias("a")
+        .join(heavy.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            cosine.alias("cosine"),
+        )
+    )
+
+
+def knn_graph_edges(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _GRAPH_TOP_K,
+    n_tables: int = 8,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Library entry for approximate kNN-GRAPH construction: top-``k``
+    cosine edges per vector over multi-table sign-LSH bucket candidates
+    (``emb`` must carry (vec_id, embedding)). Output: (vec_id, nbr_id,
+    cosine, edge_rank) with rank ties broken by nbr_id — the same
+    contract as the registered ``knn_graph_topk`` query, which wraps
+    this over its planted-clone corpus. Used directly by
+    scripts/scale_probe.py for the 100k/1M SCALING.md rungs.
+
+    Scale shape: candidates are an equi-join on (tbl, bucket) — volume
+    ∝ Σ bucket², kept subquadratic by sizing ``n_planes`` ∝ log n
+    (65 536 keys at the default 16) — scored inside the join so no
+    exchange ever carries vectors attached to candidates
+    (``_bucket_scored_candidates``); the multi-table dedup is a
+    ``distinct`` whose map-side partial aggregate collapses duplicate
+    scored rows before its exchange; the ranked filter compiles to
+    WindowGroupLimit, so a per-partition top-k pass also runs BEFORE
+    the exchange on vec_id — at most k rows per (vector, map
+    partition) cross, never the full candidate multiset."""
+    from pyspark import StorageLevel
+
+    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    scored = _bucket_scored_candidates(e, n_tables, n_planes).distinct()
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return scored.withColumn("edge_rank", F.row_number().over(w).cast("int")).filter(
+        F.col("edge_rank") <= k
+    )
 
 
 def _oracle_knn_graph_topk(dim: int = 64) -> str:
@@ -525,7 +590,6 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCALED_PLANES,
         _SCALED_TABLES,
     )
-    from pyspark import StorageLevel
 
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
@@ -534,25 +598,10 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
-    e = with_norm(base.unionByName(clones)).persist(StorageLevel.MEMORY_AND_DISK)
-    flat = lsh_multi_buckets_flat(
-        e, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = (
-        flat.alias("a")
-        .join(flat.alias("b"), ["tbl", "bucket"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return (
-        cand.join(ea, "vec_id")
-        .join(eb, "nbr_id")
-        .select("vec_id", "nbr_id", cosine.alias("cosine"))
-        .withColumn("edge_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("edge_rank") <= _GRAPH_TOP_K)
+    return knn_graph_edges(
+        spark,
+        base.unionByName(clones),
+        k=_GRAPH_TOP_K,
+        n_tables=_SCALED_TABLES,
+        n_planes=_SCALED_PLANES,
     )
