@@ -239,6 +239,15 @@ def embedding_neardup_incremental(
     vecs_old = spark.read.parquet(f"{index_dir}/vectors.parquet")
     known = buckets_old.select("vec_id").distinct()
 
+    # First-writer-wins WITHIN a batch too (ADVICE r4): a batch carrying
+    # the same vec_id twice — possibly with different embeddings — would
+    # append conflicting inventory/bucket rows that vecs_all.distinct()
+    # cannot collapse (it only merges bit-identical rows), fanning out
+    # the verify join. Exactly one row per vec_id survives (which one
+    # is partition-order-dependent — callers that care about WHICH
+    # duplicate wins must resolve upstream; the index only guarantees
+    # one embedding per vec_id).
+    batch = batch.dropDuplicates(["vec_id"])
     vecs_new = (
         with_norm(batch.join(known, "vec_id", "left_anti"))
         .localCheckpoint()

@@ -55,7 +55,7 @@ def foreach_batch_dedup_append(
     )
 
 
-def _require_partitioned_pairs_layout(pairs_path: str) -> None:
+def _require_partitioned_pairs_layout(spark, pairs_path: str) -> None:
     """Refuse to start over a pre-r3 FLAT pairs layout (batch id as a
     data column, parquet files directly under the root). The sink now
     writes ``_ingest_batch_id=N/`` partition directories with dynamic
@@ -63,12 +63,20 @@ def _require_partitioned_pairs_layout(pairs_path: str) -> None:
     loose files and partition dirs under one path — Spark's partition
     discovery rejects such a mix, and the old flat rows would sit
     outside the idempotent-replay guarantee. A fresh ``pairs_path`` is
-    required when upgrading (the index itself is layout-compatible)."""
-    import os
+    required when upgrading (the index itself is layout-compatible).
 
-    if not os.path.isdir(pairs_path):
+    Resolved through the Hadoop FileSystem API (ADVICE r4: ``os.path``
+    only sees the local FS, so an hdfs:// or s3a:// pairs_path — the
+    scale layout the docstrings advertise — would silently skip the
+    guard)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(pairs_path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath) or not fs.getFileStatus(hpath).isDirectory():
         return
-    for entry in os.listdir(pairs_path):
+    for status in fs.listStatus(hpath):
+        entry = status.getPath().getName()
         # _ingest_batch_id=N/ partition dirs, _SUCCESS markers, and
         # dot-files are all fine; anything else (part-*.parquet at the
         # root) is the legacy flat layout.
@@ -112,7 +120,7 @@ def streaming_neardup_index(
         neardup_incremental,
     )
 
-    _require_partitioned_pairs_layout(pairs_path)
+    _require_partitioned_pairs_layout(stream_df.sparkSession, pairs_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once, so the pairs land through the
@@ -214,7 +222,7 @@ def streaming_embedding_index(
     )
 
     tau_eff = EMB_INDEX_TAU if tau is None else tau
-    _require_partitioned_pairs_layout(pairs_path)
+    _require_partitioned_pairs_layout(stream_df.sparkSession, pairs_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def land_pairs(pairs: DataFrame) -> None:

@@ -90,6 +90,11 @@ def main() -> int:
 
     spark = get_spark(shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
+    # Spill OUTSIDE the repo: an in-memory DuckDB under pressure writes
+    # duckdb_temp_storage-*.tmp into cwd/.tmp by default — the r4
+    # sweep's recursive-CTE queries spilled 8.6 GB there and the files
+    # were accidentally committed (ADVICE r4). /tmp is host scratch.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 

@@ -150,11 +150,13 @@ def test_streaming_neardup_index_equals_batch(spark, tmp_path):
     } == batch
 
 
-def test_streaming_neardup_index_refuses_legacy_flat_pairs_layout(tmp_path):
+def test_streaming_neardup_index_refuses_legacy_flat_pairs_layout(spark, tmp_path):
     """Pre-r3 checkpoints wrote pairs FLAT (batch id as a data column);
     the partitioned sink must refuse such a root at startup rather than
-    mix loose files with _ingest_batch_id=N/ dirs (ADVICE r3). Pure
-    path check — no stream needs to start to hit the guard."""
+    mix loose files with _ingest_batch_id=N/ dirs (ADVICE r3). Since r5
+    the guard resolves through the Hadoop FileSystem API (ADVICE r4:
+    os.path silently no-ops on hdfs://, s3a:// roots), so it needs the
+    session — but still no stream needs to start to hit it."""
     from data_lake_construction_and_querying_with_pyspark_spark.streaming.sinks import (
         _require_partitioned_pairs_layout,
     )
@@ -164,14 +166,19 @@ def test_streaming_neardup_index_refuses_legacy_flat_pairs_layout(tmp_path):
     (legacy / "part-00000-abc.snappy.parquet").write_bytes(b"PAR1")
     (legacy / "_SUCCESS").write_bytes(b"")
     with pytest.raises(ValueError, match="legacy flat layout"):
-        _require_partitioned_pairs_layout(str(legacy))
+        _require_partitioned_pairs_layout(spark, str(legacy))
 
     # absent path and partitioned layout both pass
-    _require_partitioned_pairs_layout(str(tmp_path / "nonexistent"))
+    _require_partitioned_pairs_layout(spark, str(tmp_path / "nonexistent"))
     part = tmp_path / "part_pairs"
     (part / "_ingest_batch_id=0").mkdir(parents=True)
     (part / "_SUCCESS").write_bytes(b"")
-    _require_partitioned_pairs_layout(str(part))
+    _require_partitioned_pairs_layout(spark, str(part))
+    # the scheme-qualified form of the same root resolves identically
+    # through the Hadoop FS (the case os.path could not see)
+    _require_partitioned_pairs_layout(spark, f"file://{part}")
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        _require_partitioned_pairs_layout(spark, f"file://{legacy}")
 
 
 def test_streaming_embedding_index_equals_batch(spark, tmp_path):
