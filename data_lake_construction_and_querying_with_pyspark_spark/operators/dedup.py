@@ -552,34 +552,59 @@ def embedding_cosine_pairs_scaled(
     bits-per-table grows with log n (16 bits ⇒ 65 536 keys) — measured
     SUBLINEAR on the same corpus (16.6 s → 23.9 s for 2×) with perfect
     planted-pair recovery at the production threshold. Same exact-
-    cosine verify. The deterministic LCG hyperplanes replay in the
+    cosine arithmetic. The deterministic LCG hyperplanes replay in the
     registered entry's DuckDB oracle as double literals, so even the
     probabilistic recall is cross-engine identical.
+
+    r5 plan change (the kNN-graph 1M lesson, docs/SCALING.md round 5):
+    cosine is scored INSIDE the (tbl, bucket) self-join and the tau
+    filter runs BEFORE the multi-table distinct. The old
+    candidates-first shape (distinct pairs → verify_cosine_pairs
+    re-attaching vectors) re-shuffled ~50M candidate rows WITH 64-dim
+    vectors (~66 GB of exchange at the 1M rung — it exhausted local
+    disk in r4, both AQE and pinned configs). Here vectors ride the
+    n·n_tables bucket rows (~4 GB at 1M), the join projection computes
+    cosine and drops the vectors, the strict > tau filter kills ~all
+    non-duplicate candidates in the same stage (filter-then-distinct ≡
+    distinct-then-filter for a deterministic cosine), and the distinct
+    dedups only the surviving near-dup pairs — a few-thousand-row
+    exchange at any rung. Values are unchanged: same candidate set,
+    same sequential-fold cosine, so the DuckDB oracle replay is
+    untouched. The incremental/streaming index keeps the
+    candidates-then-verify shape (``verify_cosine_pairs``) because its
+    per-batch candidate sets are small by construction.
     """
     from pyspark import StorageLevel
 
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        dot,
         lsh_multi_buckets_flat,
         with_norm,
     )
 
     e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    # Flat (vec_id, tbl, bucket) rows from the data-driven plane table:
-    # bit-identical buckets to the expression form, but plan build is
-    # milliseconds instead of ~10 s of py4j/Catalyst literal plumbing
-    # (see lsh_multi_buckets_flat). Persisted: both sides of the
-    # candidate self-join read it.
-    flat = lsh_multi_buckets_flat(
-        e, n_tables=n_tables, n_planes=n_planes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = (
-        flat.alias("a")
-        .join(flat.alias("b"), ["tbl", "bucket"])
+    # Flat (vec_id, tbl, bucket) rows from the data-driven plane table
+    # (bit-identical buckets to the expression form — see
+    # lsh_multi_buckets_flat), with (v, norm) attached so the self-join
+    # scores in place. Persisted: both sides of the self-join read it.
+    heavy = (
+        lsh_multi_buckets_flat(e, n_tables=n_tables, n_planes=n_planes)
+        .join(e, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cosine = dot("a.v", "b.v") / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        heavy.alias("a")
+        .join(heavy.alias("b"), ["tbl", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") > tau)
         .distinct()
     )
-    return verify_cosine_pairs(cand, e, tau)
 
 
 def verify_cosine_pairs(cand: DataFrame, e: DataFrame, tau: float) -> DataFrame:

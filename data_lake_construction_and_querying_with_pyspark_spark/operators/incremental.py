@@ -277,3 +277,131 @@ def embedding_neardup_incremental(
         f"{index_dir}/buckets.parquet"
     )
     return pairs
+
+
+# --- incremental kNN-graph maintenance (top-k edges per vector) ----------------
+
+
+GRAPH_EDGE_K = 3  # stored edges per vector — matches similarity._GRAPH_TOP_K
+
+
+def init_knn_graph_index(spark: SparkSession, index_dir: str) -> None:
+    """Create an empty incremental kNN-graph index: the sign-LSH bucket
+    table + vector inventory (same layout as ``init_embedding_index``)
+    plus the maintained edge store (the CURRENT top-k edges of every
+    vector seen so far, unranked — rank is derived on read)."""
+    init_embedding_index(spark, index_dir)
+    spark.createDataFrame([], "vec_id long, nbr_id long, cosine double").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/edges.parquet")
+
+
+def knn_graph_read_edges(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The maintained graph as (vec_id, nbr_id, cosine, edge_rank) —
+    the exact output contract of the batch ``similarity.knn_graph_edges``."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        spark.read.parquet(f"{index_dir}/edges.parquet")
+        .withColumn("edge_rank", F.row_number().over(w).cast("int"))
+    )
+
+
+def knn_graph_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    k: int = GRAPH_EDGE_K,
+) -> DataFrame:
+    """Maintain the approximate kNN graph under append-only ingestion
+    (VERDICT r4 stretch directive #9): for each ``(vec_id, embedding)``
+    batch, score every (new, existing) and (new, new) LSH bucket
+    collision and fold the scored edges into the per-vector top-k edge
+    store — BOTH directions, so an arriving vector that is an old
+    vector's better neighbor updates the old vector's edge list too.
+
+    Stream ≡ batch, provably: top-k is union-monotone —
+    ``topk(A ∪ B) = topk(topk(A) ∪ B)`` — and bucket membership is a
+    deterministic function of the vector alone, so after draining a
+    corpus in ANY micro-batch split the edge store equals
+    ``similarity.knn_graph_edges`` over the whole corpus exactly
+    (tests/test_incremental.py proves it, including rank columns).
+
+    Replay-safe: already-indexed vec_ids anti-join out (re-ingesting a
+    batch is a no-op), in-batch duplicate vec_ids collapse first (the
+    one-embedding-per-vec_id contract of the embedding index), and the
+    merge step dedups bit-identical scored rows before re-ranking, so a
+    crash between the edge-store overwrite and the index appends
+    re-merges identical edges on retry (idempotent). Durability
+    ordering mirrors the pair sinks: edges land BEFORE the bucket
+    append, because once the buckets are in a replayed batch discovers
+    nothing.
+
+    Scale: per-batch cost is O(batch buckets + colliding index rows),
+    never O(corpus); the edge store is ≤ k rows per vector. This is the
+    small-batch regime, so candidates-then-attach joins are fine here —
+    the BATCH operator is the one that must score in-join
+    (``similarity._bucket_scored_candidates``, docs/SCALING.md r5)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        dot,
+        lsh_multi_buckets_flat,
+        with_norm,
+    )
+
+    buckets_old = spark.read.parquet(f"{index_dir}/buckets.parquet")
+    vecs_old = spark.read.parquet(f"{index_dir}/vectors.parquet")
+    known = buckets_old.select("vec_id").distinct()
+
+    batch = batch.dropDuplicates(["vec_id"])
+    vecs_new = with_norm(batch.join(known, "vec_id", "left_anti")).localCheckpoint()
+    buckets_new = lsh_multi_buckets_flat(
+        vecs_new, n_tables=EMB_INDEX_TABLES, n_planes=EMB_INDEX_PLANES
+    ).localCheckpoint()
+
+    buckets_all = buckets_old.unionByName(buckets_new.select("vec_id", "tbl", "bucket"))
+    vecs_all = vecs_old.unionByName(vecs_new).distinct()
+
+    probe = (
+        buckets_new.select("tbl", "bucket", F.col("vec_id").alias("new_id"))
+        .join(buckets_all, ["tbl", "bucket"])
+        .filter(F.col("new_id") != F.col("vec_id"))
+        .select("new_id", F.col("vec_id").alias("other_id"))
+        .distinct()
+    )
+    # directional: the new vector's edge AND the colliding vector's
+    # (old or new) edge back — new-new pairs produce both orderings
+    # twice, which the distinct collapses
+    dir_pairs = (
+        probe.select(F.col("new_id").alias("vec_id"), F.col("other_id").alias("nbr_id"))
+        .unionByName(
+            probe.select(F.col("other_id").alias("vec_id"), F.col("new_id").alias("nbr_id"))
+        )
+        .distinct()
+    )
+    ea = vecs_all.select("vec_id", F.col("v").alias("va"), F.col("norm").alias("na"))
+    eb = vecs_all.select(
+        F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cosine = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    scored = (
+        dir_pairs.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .select("vec_id", "nbr_id", cosine.alias("cosine"))
+    )
+
+    edges_old = spark.read.parquet(f"{index_dir}/edges.parquet")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    topk = (
+        edges_old.unionByName(scored)
+        .distinct()  # replayed batches re-derive bit-identical rows
+        .withColumn("edge_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("edge_rank") <= k)
+        .localCheckpoint()  # materialize BEFORE overwriting the store it reads
+    )
+    topk.select("vec_id", "nbr_id", "cosine").write.mode("overwrite").parquet(
+        f"{index_dir}/edges.parquet"
+    )
+    vecs_new.write.mode("append").parquet(f"{index_dir}/vectors.parquet")
+    buckets_new.select("vec_id", "tbl", "bucket").write.mode("append").parquet(
+        f"{index_dir}/buckets.parquet"
+    )
+    return topk

@@ -244,3 +244,45 @@ def streaming_embedding_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_knn_graph_index(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_path: str,
+    k: int | None = None,
+) -> StreamingQuery:
+    """Continuously maintain the approximate kNN GRAPH from a
+    ``(vec_id, embedding)`` stream (VERDICT r4 stretch directive #9 —
+    the graph sibling of ``streaming_embedding_index``): each
+    micro-batch runs ``operators.incremental.knn_graph_incremental`` —
+    bucket the batch, score every collision against the accumulated
+    index in both directions, fold into the per-vector top-k edge
+    store, append the batch's buckets/vectors.
+
+    Equivalence contract (tests/test_incremental.py +
+    tests/test_streaming_sinks.py): draining a corpus through this sink
+    in ANY micro-batch split leaves ``knn_graph_read_edges`` equal to
+    the batch ``similarity.knn_graph_edges`` over the whole corpus —
+    including rank columns — because top-k merging is union-monotone
+    and bucket membership depends on the vector alone. The edge store
+    is overwritten per batch (it is ≤ k rows/vector — tiny), unlike the
+    append-only pair lakes, so no batch-id partitioning is needed:
+    replaying a batch re-merges bit-identical edges (idempotent).
+    """
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        GRAPH_EDGE_K,
+        knn_graph_incremental,
+    )
+
+    k_eff = GRAPH_EDGE_K if k is None else k
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        knn_graph_incremental(batch_df.sparkSession, batch_df, index_dir, k=k_eff)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

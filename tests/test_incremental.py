@@ -129,3 +129,100 @@ def test_neardup_incremental_replay_is_noop(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/bands.parquet").count() == n_bands
     assert spark.read.parquet(f"{idx}/shingles.parquet").count() == n_shingles
     assert n_pairs >= 0 and n_bands > 0
+
+
+def test_knn_graph_incremental_equals_batch(spark, tmp_path):
+    """Stream-maintained kNN graph ≡ batch (VERDICT r4 stretch
+    directive #9): drain the planted-pair probe corpus through
+    knn_graph_incremental in 4 micro-batches; the edge store must equal
+    similarity.knn_graph_edges over the whole corpus EXACTLY, rank
+    column included — top-k merging is union-monotone and bucket
+    membership depends only on the vector, so the split cannot change
+    a single edge."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_knn_graph_index,
+        knn_graph_incremental,
+        knn_graph_read_edges,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        knn_graph_edges,
+    )
+
+    n = 400
+    emb = build_embeddings(spark, n).localCheckpoint()
+    idx = str(tmp_path / "knn_idx")
+    init_knn_graph_index(spark, idx)
+    for lo in range(0, n, 100):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100))
+        knn_graph_incremental(spark, batch, idx)
+
+    streamed = {tuple(r) for r in knn_graph_read_edges(spark, idx).collect()}
+    batch_graph = {tuple(r) for r in knn_graph_edges(spark, emb).collect()}
+    spark.catalog.clearCache()
+    assert streamed == batch_graph
+    assert len(streamed) > 0
+
+
+def test_knn_graph_incremental_replay_is_noop(spark, tmp_path):
+    """Re-ingesting an already-indexed batch changes nothing: vectors
+    anti-join out, the merge dedups bit-identical edges."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_knn_graph_index,
+        knn_graph_incremental,
+        knn_graph_read_edges,
+    )
+
+    n = 200
+    emb = build_embeddings(spark, n).localCheckpoint()
+    idx = str(tmp_path / "knn_idx_replay")
+    init_knn_graph_index(spark, idx)
+    b1 = emb.filter(F.col("vec_id") < 100)
+    b2 = emb.filter(F.col("vec_id") >= 100)
+    knn_graph_incremental(spark, b1, idx)
+    knn_graph_incremental(spark, b2, idx)
+    before = {tuple(r) for r in knn_graph_read_edges(spark, idx).collect()}
+    knn_graph_incremental(spark, b2, idx)  # replay
+    after = {tuple(r) for r in knn_graph_read_edges(spark, idx).collect()}
+    spark.catalog.clearCache()
+    assert before == after
+    # index tables did not grow either
+    assert spark.read.parquet(f"{idx}/vectors.parquet").count() == n
+
+
+def test_knn_graph_incremental_updates_old_vectors_edges(spark, tmp_path):
+    """A new arrival that is an OLD vector's best neighbor must rewrite
+    the old vector's edge list (the directional merge-back): plant an
+    exact clone of vector 5 (NOT itself a planted-pair member — vec 0
+    already has its exact twin vec 1, which would win the cosine-1.0
+    tie on nbr_id) in batch 2 and require rank-1 edges both ways at
+    cosine ≈ 1."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_knn_graph_index,
+        knn_graph_incremental,
+        knn_graph_read_edges,
+    )
+
+    n = 100
+    emb = build_embeddings(spark, n).localCheckpoint()
+    idx = str(tmp_path / "knn_idx_upd")
+    init_knn_graph_index(spark, idx)
+    knn_graph_incremental(spark, emb, idx)
+
+    clone = emb.filter(F.col("vec_id") == 5).select(
+        F.lit(10_000).alias("vec_id"), F.col("embedding")
+    )
+    knn_graph_incremental(spark, clone, idx)
+
+    edges = knn_graph_read_edges(spark, idx)
+    rank1 = {
+        r["vec_id"]: (r["nbr_id"], r["cosine"])
+        for r in edges.filter(F.col("edge_rank") == 1).collect()
+    }
+    spark.catalog.clearCache()
+    nbr5, cos5 = rank1[5]
+    nbrc, cosc = rank1[10_000]
+    assert nbr5 == 10_000 and cos5 > 0.999999
+    assert nbrc == 5 and cosc > 0.999999

@@ -256,3 +256,50 @@ def test_streaming_embedding_index_equals_batch(spark, tmp_path):
     assert {
         (r.vec_a, r.vec_b, r.cosine) for r in spark.read.parquet(pairs_path).collect()
     } == batch
+
+
+def test_streaming_knn_graph_index_equals_batch(spark, tmp_path):
+    """The stream-maintained kNN graph must equal batch (r4 stretch
+    directive #9, streaming face): draining the probe corpus through
+    streaming_knn_graph_index in 4 micro-batches leaves the edge store
+    equal — rank columns included — to similarity.knn_graph_edges over
+    the whole corpus, and a checkpoint restart changes nothing."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        init_knn_graph_index,
+        knn_graph_read_edges,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        knn_graph_edges,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.sinks import (
+        streaming_knn_graph_index,
+    )
+
+    corpus = build_embeddings(spark, 400).localCheckpoint()
+    src = str(tmp_path / "g_src")
+    corpus.repartition(4).write.mode("overwrite").parquet(src)
+
+    idx = str(tmp_path / "g_idx")
+    ckpt = str(tmp_path / "g_ckpt")
+    init_knn_graph_index(spark, idx)
+
+    def g_stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = streaming_knn_graph_index(g_stream(), idx, ckpt)
+    q.awaitTermination()
+
+    streamed = {tuple(r) for r in knn_graph_read_edges(spark, idx).collect()}
+    batch = {tuple(r) for r in knn_graph_edges(spark, corpus).collect()}
+    spark.catalog.clearCache()
+    assert streamed == batch and len(batch) > 0
+
+    # restart on the same checkpoint: no new files → graph unchanged
+    q2 = streaming_knn_graph_index(g_stream(), idx, ckpt)
+    q2.awaitTermination()
+    assert {tuple(r) for r in knn_graph_read_edges(spark, idx).collect()} == batch
