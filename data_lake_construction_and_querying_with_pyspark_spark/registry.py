@@ -180,6 +180,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import retrieval  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import formats_roundtrip  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import graph  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import lake_acid  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
         streaming_hourly_rollup_query,
     )
