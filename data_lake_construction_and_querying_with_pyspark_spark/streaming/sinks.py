@@ -286,3 +286,68 @@ def streaming_knn_graph_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_acid_append(
+    stream_df: DataFrame,
+    table_root: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Stream → EXACTLY-ONCE appends into a :class:`~..acid.TransactionalTable`.
+
+    ``foreach_batch_dedup_append`` above is honest about being
+    at-least-once: a crash between the parquet append and the
+    checkpoint commit replays the batch and double-writes it. Landing
+    through the transaction log upgrades this to exactly-once with the
+    standard idempotent-foreachBatch move: every commit records its
+    ``batch_id`` in the log entry's op metadata, and a replayed batch
+    whose id is already committed is SKIPPED before writing anything.
+    Readers see each micro-batch atomically (a batch is one commit —
+    never a torn prefix of its files) and can time-travel to any
+    batch boundary.
+
+    Concurrent writers compose for free: the append commit auto-retries
+    through version races (acid.py), so several streams — or a stream
+    plus batch maintenance jobs like ``compact()`` — can target one
+    table. At scale the per-batch overhead is one small JSON create;
+    the data write is the same distributed parquet job as any append.
+    """
+    import time as _time
+
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import TransactionalTable
+
+    table = TransactionalTable.create(table_root)
+
+    def _committed_batches() -> set:
+        return {
+            o.get("batch_id") for o in table.history() if o.get("op") == "stream_append"
+        }
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch id rides INSIDE the atomic commit entry (not a
+        # second write), so dedup-by-id and commit can't be torn apart
+        if batch_id in _committed_batches():
+            return  # replay of a committed batch: exactly-once skip
+        adds = table._stage_files(batch_df.sparkSession, batch_df)
+        entry = {
+            "add": adds,
+            "op": {"op": "stream_append", "batch_id": batch_id, "ts": _time.time()},
+        }
+        v = table.snapshot().version + 1
+        for _ in range(50):
+            if table._try_create(v, entry):
+                return
+            # another writer landed: re-check replay status, then retry
+            if batch_id in _committed_batches():
+                table._abandon(adds)
+                return
+            v += 1
+        table._abandon(adds)
+        raise RuntimeError("streaming append lost 50 consecutive version races")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -244,3 +244,46 @@ def test_log_entries_are_json_with_stats(table, spark):
         entry = json.load(fh)
     assert sum(a["rows"] for a in entry["add"]) == 7
     assert all(a["bytes"] > 0 for a in entry["add"])
+
+
+def test_streaming_acid_append_exactly_once(spark, tmp_path):
+    """Drain a 4-file source through streaming_acid_append twice with
+    the SAME checkpoint (second run replays nothing) and once with a
+    FRESH checkpoint (full replay): the replayed batches must be
+    skipped by committed batch_id, leaving every row exactly once."""
+    from pyspark.sql import functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming.sinks import (
+        streaming_acid_append,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    ).repartition(4, "g").write.parquet(src)
+
+    root = str(tmp_path / "acid_table")
+
+    def drain(cp: str):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_acid_append(stream, root, str(tmp_path / cp))
+        q.awaitTermination()
+
+    drain("cp1")
+    t = TransactionalTable(root)
+    rows = {r["k"] for r in t.read(spark).collect()}
+    assert rows == set(range(40))
+    v1 = t.snapshot().version
+
+    drain("cp1")  # same checkpoint: source exhausted, no new batches
+    assert t.snapshot().version == v1
+
+    drain("cp2")  # fresh checkpoint: full replay — batch_ids already committed
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(40))
+    assert t.snapshot().version == v1
+    ops = [o for o in t.history() if o.get("op") == "stream_append"]
+    assert sorted(o["batch_id"] for o in ops) == list(range(len(ops)))
