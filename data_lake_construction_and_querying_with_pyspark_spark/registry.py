@@ -76,9 +76,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-5 rotation (VERDICT r4 directive #1): the 3 round-4 additions
 # that have never received a driver row go first (closing cumulative
-# coverage), then ALL 23 entries whose latest driver row is r2 (they
-# would otherwise age past the "no row older than 2 rounds" contract),
-# then 24 re-verification picks from the 44 r3-aged entries —
+# coverage), plus this round's new acid_orders_lifecycle, then ALL 23
+# entries whose latest driver row is r2 (they would otherwise age past
+# the "no row older than 2 rounds" contract),
+# then 23 re-verification picks from the 44 r3-aged entries —
 # prioritized by operator complexity (the dedup/ANN/pipeline ladder and
 # statistical operators over twice-stable pure-SQL packs). The 20
 # r3-aged entries left out (TPC-H Q-series and events trio, each green
@@ -86,10 +87,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-checked: round-4 additions --
+    # -- never driver-checked: round-4 additions + the r5 ACID query --
     "knn_graph_top1",
     "knn_graph_topk",
     "dedup_canonical_corpus_embeddings",
+    "acid_orders_lifecycle",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -114,7 +116,10 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "topk_global_orders",
     "window_running_total",
     "window_topk_per_customer",
-    # -- r3-aged re-verification picks (24 of 44; rest rotate r6) --
+    # -- r3-aged re-verification picks (23 of 44; rest rotate r6 —
+    # recursive_transition_paths was the 24th pick and rotated out to
+    # make room for acid_orders_lifecycle; its latest row stays r3,
+    # exactly at the ≤2-rounds-old contract edge for r5) --
     "dedup_canonical_corpus",
     "dedup_exact_documents",
     "dedup_minhash_near_dup",
@@ -138,7 +143,6 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "text_token_stats",
     "doc_repetition_signals",
     "asof_latest_order_per_event",
-    "recursive_transition_paths",
 )
 
 
