@@ -150,23 +150,26 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS ({_ORACLE_SHINGLES})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-    FROM sh a, sh b
-    WHERE a.doc_id < b.doc_id
-      AND 5 * len(list_intersect(a.shingles, b.shingles))
-          >= 4 * (len(a.shingles) + len(b.shingles)
-                  - len(list_intersect(a.shingles, b.shingles)))
+    WITH sh AS MATERIALIZED ({_ORACLE_SHINGLES})
+    SELECT i.doc_a, i.doc_b, i.inter::DOUBLE / (za.n + zb.n - i.inter) AS jaccard
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) a
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) i
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) za ON za.doc_id = i.doc_a
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) zb ON zb.doc_id = i.doc_b
+    WHERE 5 * i.inter >= 4 * (za.n + zb.n - i.inter)
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs with word-3-gram Jaccard ≥ 0.8, with
     document-frequency pruning enabled at its default cap (1000 — far
     above this corpus's max shingle df of ~9, so results here equal the
-    unpruned brute-force oracle)."""
+    unpruned brute-force oracle — since r5 the oracle itself is the
+    inverted-index form too; see _ORACLE_PAIRS)."""
     return ngram_jaccard_pairs(spark, sf_dir, max_df=_NGRAM_MAX_DF)
 
 
@@ -851,20 +854,34 @@ def connected_components(
         prev_sum = cur_sum
 
 
+# Inverted-index pair oracle (expects a CTE `sh(doc_id, shingles)` in
+# scope, ideally MATERIALIZED since it is referenced four times).
+# Faithful rewrite of the original all-pairs form — `shingles` is
+# list_distinct, so COUNT(*) over the shingle equi-join IS
+# len(list_intersect) — but Σ df(shingle)² work instead of O(n²·|sh|):
+# the all-pairs form measured ~50 min PER QUERY at sf0.1 (5 000 docs →
+# 12.5M list_intersect evaluations), which made the full-surface
+# sf0.1 oracle sweep all but unrunnable; this form runs in seconds and
+# matches hash-for-hash at sf0.001/0.01/0.1 (r5 A/B below).
 _ORACLE_PAIRS = """
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a, sh b
-        WHERE a.doc_id < b.doc_id
-          AND 5 * len(list_intersect(a.shingles, b.shingles))
-              >= 4 * (len(a.shingles) + len(b.shingles)
-                      - len(list_intersect(a.shingles, b.shingles)))
+        SELECT i.doc_a, i.doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) a
+            JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN (SELECT doc_id, len(shingles) AS n FROM sh) za ON za.doc_id = i.doc_a
+        JOIN (SELECT doc_id, len(shingles) AS n FROM sh) zb ON zb.doc_id = i.doc_b
+        WHERE 5 * i.inter >= 4 * (za.n + zb.n - i.inter)
 """
 
 
 @register(
     "dedup_cluster_assignment",
     oracle=f"""
-    WITH RECURSIVE sh AS ({_ORACLE_SHINGLES}),
+    WITH RECURSIVE sh AS MATERIALIZED ({_ORACLE_SHINGLES}),
     pairs AS ({_ORACLE_PAIRS}),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -894,7 +911,7 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonical_corpus",
     oracle=f"""
-    WITH RECURSIVE sh AS ({_ORACLE_SHINGLES}),
+    WITH RECURSIVE sh AS MATERIALIZED ({_ORACLE_SHINGLES}),
     pairs AS ({_ORACLE_PAIRS}),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs

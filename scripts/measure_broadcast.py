@@ -1,16 +1,19 @@
-"""Measure the ACTUAL BroadcastExchange dataSize of the shortlist
+"""Measure the ACTUAL BroadcastExchange data size of the shortlist
 bucketed-centroid table at rung geometries (VERDICT r4 finding #3: the
 ~80 MB figure at a 10M-doc rung's k=156 250 was projected, never
 measured).
 
 The broadcast payload depends only on the table's geometry — k rows of
-(cell bigint, cent array<double>[d], acell bigint) — not on where the
+(cell bigint, cent array<double>[64], acell bigint) — not on where the
 centroids came from, so this probe synthesizes centroid tables at each
 rung's k (derive_k: k = n//64) with deterministic hash-derived
-coordinates, runs the exact ``shortlist_assign`` broadcast join against
-a small vector batch, and reads the ``dataSize`` SQLMetric off the
-executed plan's BroadcastExchange node (the real serialized
-UnsafeRow relation size, not an estimate).
+coordinates, runs the exact ``shortlist_assign`` broadcast join
+against a small vector batch, and reads the ``data size`` SQLMetric of
+every BroadcastExchange from the SQLAppStatusStore for that execution
+— the real serialized relation size the driver ships, not an
+estimate. (Reading metrics off ``df._jdf.queryExecution()`` does NOT
+work: the write action runs its own QueryExecution, so that plan's
+accumulators stay at zero.)
 
 Usage: python scripts/measure_broadcast.py [k ...]
        (default rung ladder: 1 562 / 15 625 / 156 250 —
@@ -22,48 +25,37 @@ Prints one JSON line per k. Recorded in docs/SCALING.md.
 from __future__ import annotations
 
 import json
-import math
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _DIM = 64
 
-
-def _walk(node):
-    """Yield every physical node, descending through AQE query stages
-    and reused exchanges (their subtrees hang off .plan()/.child(),
-    not .children())."""
-    yield node
-    name = node.nodeName()
-    if "QueryStage" in name:
-        try:
-            yield from _walk(node.plan())
-        except Exception:
-            pass
-    ch = node.children()
-    for i in range(ch.size()):
-        yield from _walk(ch.apply(i))
+_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
 
 
-def broadcast_data_size(df) -> list[int]:
-    """Execute df and return the dataSize metric (bytes) of every
-    BroadcastExchange in the final adaptive plan."""
-    df.write.mode("overwrite").format("noop").save()
-    jplan = df._jdf.queryExecution().executedPlan()
-    try:
-        jplan = jplan.executedPlan()  # AdaptiveSparkPlanExec → final plan
-    except Exception:
-        pass
+def _parse_size(s: str) -> float:
+    m = re.match(r"([\d.]+)\s*([KMGT]?i?B)", s)
+    return float(m.group(1)) * _UNITS[m.group(2)] if m else 0.0
+
+
+def last_execution_data_sizes(spark) -> list[float]:
+    """'data size' metric values (bytes) of the most recent SQL
+    execution, via the SQLAppStatusStore (the UI's source of truth)."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    last = execs.apply(execs.size() - 1)
+    vals = store.executionMetrics(last.executionId())
     sizes = []
-    for node in _walk(jplan):
-        if "BroadcastExchange" not in node.nodeName():
-            continue
-        metrics = node.metrics()
-        opt = metrics.get("dataSize")
-        if opt.isDefined():
-            sizes.append(opt.get().value())
+    it = last.metrics().iterator()
+    while it.hasNext():
+        m = it.next()
+        if str(m.name()) == "data size":
+            o = vals.get(m.accumulatorId())
+            if o.isDefined():
+                sizes.append(_parse_size(str(o.get())))
     return sizes
 
 
@@ -99,16 +91,17 @@ def main() -> None:
         )
         m = coarse_m(k)
         assigned = shortlist_assign(vecs, centroids, m, broadcast_buckets=True)
-        sizes = broadcast_data_size(assigned)
-        # the bucketed-centroid relation is the LARGEST broadcast in the
-        # plan (the other is the m-row anchor array)
+        assigned.write.mode("overwrite").format("noop").save()
+        sizes = last_execution_data_sizes(spark)
+        # the bucketed-centroid relation is the LARGEST broadcast in
+        # the plan (the others are the m-row anchor array, deduped)
         print(
             json.dumps(
                 {
                     "k": k,
                     "m": m,
                     "n_docs_equiv": k * 64,
-                    "broadcasts_bytes": sorted(int(s) for s in sizes),
+                    "distinct_broadcast_bytes": sorted(set(int(s) for s in sizes)),
                     "bucketed_centroids_mb": round(max(sizes) / 2**20, 1) if sizes else None,
                 }
             ),
