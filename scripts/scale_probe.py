@@ -241,12 +241,33 @@ def main() -> None:
         expected = n_docs // 10  # 10% of vectors sit in a planted pair
         return {"planted_rank1_recovered": hits, "planted_members": expected}
 
+    # Sample-trained SemDeDup (r5): identical k policy and dup
+    # threshold, but Lloyd's trains on a ~8·k hashed-id systematic
+    # sample (corpus-size-independent training cost) followed by ONE
+    # full-corpus shortlist assignment — the 10M-ready escape from the
+    # full-corpus shortlist's n^1.5 total. Row count remains the
+    # planted-pair recovery signal, directly comparable to
+    # semantic_dedup_scaled_k's.
+    def semantic_sampled(spark, sf_dir):
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+            derive_k,
+            semantic_dedup_sampled,
+        )
+
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out_df = semantic_dedup_sampled(spark, emb, k=derive_k(n_docs), tau=0.95)
+        return out_df.filter(F.col("is_semantic_dup"))
+
     probes = [(op, qs[op], None) for op in _PROBE_OPS] + [
         ("semantic_dedup_scaled_k", semantic_scaled, None),
+        ("semantic_dedup_sampled_k", semantic_sampled, None),
         ("embedding_cosine_scaled_bits", cosine_scaled, None),
         ("knn_graph_topk_scaled", knn_graph, knn_graph_recovery),
     ]
     count_rows.add("semantic_dedup_scaled_k")
+    count_rows.add("semantic_dedup_sampled_k")
     count_rows.add("embedding_cosine_scaled_bits")
     count_rows.add("knn_graph_topk_scaled")
 
