@@ -103,7 +103,11 @@ def _d2_sql(v: str, c: str) -> str:
 
 
 def _shortlist_lloyds_ctes(
-    k_floor: int, k: int | None, iters: int, nprobe: int
+    k_floor: int,
+    k: int | None,
+    iters: int,
+    nprobe: int,
+    sample_per_cell: int | None = None,
 ) -> list[str]:
     """The shortlist-Lloyd's CTE chain shared by the SemDeDup oracle
     and the IVF oracle (single-sourced: both engines' quantizer builds
@@ -118,7 +122,18 @@ def _shortlist_lloyds_ctes(
     CTEs at every reference, and the shortlist chain references c{t-1}
     and an{t} multiply per iteration — inlining re-expands the whole
     Lloyd's prefix ~4× per iteration (measured ~200 s vs 0.7 s at
-    sf0.1). Values are unaffected — only evaluation count."""
+    sf0.1). Values are unaffected — only evaluation count.
+
+    ``sample_per_cell`` switches to the SAMPLE-TRAINED replay
+    (``semantic_dedup_sampled``): iterations 1..iters-1 probe and
+    argmin over the md5-threshold sample ``s`` (the same
+    fixed-point-free threshold the Spark builder computes —
+    ``substr(md5('semsample:' || vec_id), 1, 4) < printf('%04x', thr)``
+    with ``thr = LEAST(65536, target·65536 // n)``; fixed-width
+    lowercase hex compares exactly as its numeric value in both
+    engines, the splits.py portability trick), while the FINAL
+    iteration assigns the full corpus ``v``. Seeds stay the k lowest
+    vec_ids of the FULL corpus in both modes."""
     if k is not None:
         limit, m_expr = str(k), str(coarse_m(k))
     else:
@@ -133,7 +148,24 @@ def _shortlist_lloyds_ctes(
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cent
         FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {limit}))""",
     ]
+    if sample_per_cell is not None:
+        ctes += [
+            "nn AS (SELECT COUNT(*) AS n FROM v)",
+            f"""tt AS (SELECT LEAST((SELECT n FROM nn),
+                GREATEST((SELECT k FROM kk),
+                         {sample_per_cell} * (SELECT k FROM kk))) AS target)""",
+            """th AS (SELECT LEAST(65536,
+                ((SELECT target FROM tt) * 65536) // (SELECT n FROM nn)) AS thr)""",
+            """s AS MATERIALIZED (
+            SELECT vec_id, v FROM v
+            WHERE (SELECT thr FROM th) >= 65536
+               OR substr(md5('semsample:' || CAST(vec_id AS VARCHAR)), 1, 4)
+                  < printf('%04x', (SELECT thr FROM th)))""",
+        ]
     for t in range(1, iters + 1):
+        # Sample-trained mode probes/argmins the sample for the
+        # training iterations and the full corpus for the final one.
+        src = "s" if (sample_per_cell is not None and t < iters) else "v"
         ctes.append(
             f"""an{t} AS MATERIALIZED (
             SELECT cell AS acell, cent AS acent FROM (
@@ -154,16 +186,16 @@ def _shortlist_lloyds_ctes(
                 SELECT q.vec_id, a.acell,
                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
                            ORDER BY {_d2_sql('q.v', 'a.acent')}, a.acell) AS rn
-                FROM v q, an{t} a) WHERE rn <= {nprobe})"""
+                FROM {src} q, an{t} a) WHERE rn <= {nprobe})"""
         )
         ctes.append(
             f"""a{t} AS MATERIALIZED (
             SELECT vec_id, v, cell FROM (
-                SELECT q.vec_id, q.v, s.cell,
+                SELECT q.vec_id, q.v, b.cell,
                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                           ORDER BY {_d2_sql('q.v', 's.cent')}, s.cell) AS rn
-                FROM v q JOIN pr{t} p ON p.vec_id = q.vec_id
-                         JOIN ca{t} s ON s.acell = p.acell) WHERE rn = 1)"""
+                           ORDER BY {_d2_sql('q.v', 'b.cent')}, b.cell) AS rn
+                FROM {src} q JOIN pr{t} p ON p.vec_id = q.vec_id
+                         JOIN ca{t} b ON b.acell = p.acell) WHERE rn = 1)"""
         )
         if t < iters:
             ctes.append(
@@ -183,6 +215,7 @@ def _oracle_semantic(
     iters: int = N_ITERS,
     tau: float = TAU,
     nprobe: int = SEM_NPROBE,
+    sample_per_cell: int | None = None,
 ) -> str:
     """Chained-CTE replay of the deterministic Lloyd's iterations with
     the COARSE-ANCHOR SHORTLIST assignment (the path the Spark builder
@@ -197,8 +230,13 @@ def _oracle_semantic(
     as a scalar-subquery LIMIT — and m as the exact integer sqrt of
     that k (``MAX(i) WHERE i*i <= k``), so the oracle tracks
     ``derive_k``/``coarse_m`` at every scale factor without
-    regeneration."""
-    ctes = _shortlist_lloyds_ctes(K_CELLS, k, iters, nprobe)
+    regeneration.
+
+    ``sample_per_cell`` replays the SAMPLE-TRAINED variant
+    (``semantic_dedup_sampled``) instead: training iterations run over
+    the md5-threshold sample, the final assignment over the full
+    corpus — see ``_shortlist_lloyds_ctes``."""
+    ctes = _shortlist_lloyds_ctes(K_CELLS, k, iters, nprobe, sample_per_cell)
     final = f"a{iters}"
     return f"""
     WITH {','.join(ctes)},
@@ -470,10 +508,9 @@ def semantic_dedup_sampled(
     ``semantic_dedup`` exactly except WHERE the Lloyd's updates learn
     from: instead of iters full-corpus assignment passes (each
     O(n·√k·d)), the centroid table trains on a fixed-rate deterministic
-    sample of ~``sample_per_cell·k`` vectors (hashed-id systematic draw
-    — ``xxhash64(vec_id) % stride == 0``, RNG-free, scan-time
-    projection), and the FULL corpus is assigned ONCE with the trained
-    table. Total cost: (iters−1)·O(s·√k·d) training + one O(n·√k·d)
+    sample of ~``sample_per_cell·k`` vectors (hashed-id md5-threshold
+    draw, RNG-free, scan-time projection — see below), and the FULL
+    corpus is assigned ONCE with the trained table. Total cost: (iters−1)·O(s·√k·d) training + one O(n·√k·d)
     assignment — the n^1.5 term is paid once, not per iteration, and
     training is corpus-size-independent at fixed sample_per_cell.
 
@@ -481,8 +518,19 @@ def semantic_dedup_sampled(
     vec_id vectors of the FULL corpus, so cell labels track the same
     seed lineage and per-vector assignments are directly comparable —
     tests/test_semantic_sampled.py measures the agreement (and when the
-    stride degenerates to 1 the sample IS the corpus, making the two
-    paths bit-identical by construction).
+    threshold saturates at 65536 the sample IS the corpus, making the
+    two paths bit-identical by construction).
+
+    The sample is an md5-THRESHOLD draw, not an xxhash64 stride (r5:
+    the stride form was not cross-engine replayable — DuckDB has no
+    xxhash64 — so the registered query's oracle could not exist):
+    keep vec_id iff ``substr(md5('semsample:' || vec_id), 1, 4) <
+    thr_hex`` where ``thr = min(65536, target·65536 // n)``. Same
+    splits.py portability trick (fixed-width lowercase hex compares as
+    its numeric value in both engines), same scan-time-projection cost
+    (one md5 per row, RNG-free, partitioning-independent); the draw is
+    binomial around ``target`` instead of exactly ``n // stride`` —
+    immaterial for a training sample.
 
     ``broadcast_buckets=None`` auto-sizes the shortlist's bucketed-
     centroid join: broadcast while k·dim doubles fit the 64 MB budget,
@@ -497,11 +545,18 @@ def semantic_dedup_sampled(
         dim = first["d"] if first else 0
         broadcast_buckets = k * dim * 8 <= _BROADCAST_BUCKET_BYTES_CAP
     target = min(n, max(k, sample_per_cell * k))
-    stride = max(1, n // max(1, target))
+    thr = min(65536, (target * 65536) // max(1, n))
     sample = (
         base
-        if stride == 1
-        else base.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0).persist()
+        if thr >= 65536
+        else base.filter(
+            F.substring(
+                F.md5(F.concat(F.lit("semsample:"), F.col("vec_id").cast("string"))),
+                1,
+                4,
+            )
+            < format(thr, "04x")
+        ).persist()
     )
     centroids = _seed_centroids(spark, base, k)
     m = coarse_m(k)
@@ -646,3 +701,29 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — negligible against the 3 Lloyd's passes."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(spark, emb, k=derive_k(emb.count()))
+
+
+@register(
+    "semantic_dedup_sampled",
+    oracle=_oracle_semantic(sample_per_cell=SAMPLE_PER_CELL),
+)
+def semantic_dedup_sampled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with SAMPLE-TRAINED centroids — the 10M-ready
+    configuration (docs/SCALING.md "Sample-trained SemDeDup": 0.40×
+    wall-clock at 50k, 0.43× at 1M vs the full-corpus-trained path,
+    planted recovery within 0.2 pp) registered as a first-class query
+    with an exact oracle. Same k = max(8, n//64) policy and output
+    contract (vec_id, cell_id, is_semantic_dup) as
+    ``semantic_dedup_embeddings``; the difference is WHERE Lloyd's
+    learns from — an md5-threshold sample of ~8·k vectors for the
+    training iterations, then ONE full-corpus shortlist assignment —
+    so training cost is corpus-size-independent and the O(n·√k·d)
+    term is paid once, not per iteration.
+
+    The oracle replays everything: the threshold draw (cross-engine
+    md5-hex comparison), the sample-trained Lloyd's chain, the final
+    full-corpus shortlist assignment, and the within-cell pair scan —
+    hash-exact at every SF, making the scale path itself
+    driver-verifiable rather than only agreement-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_sampled(spark, emb, k=derive_k(emb.count()))

@@ -4,7 +4,7 @@ r4 directive #3).
 
 Agreement contract with the full-corpus shortlist path:
 
-* When the sampling stride degenerates to 1 (sample == corpus), the
+* When the sampling threshold saturates (sample == corpus), the
   two paths are BIT-IDENTICAL by construction — same seeds, same
   update steps, same final assignment.
 * With the sample genuinely a subset, centroids train on ~1/8 of the
@@ -28,7 +28,7 @@ from tests.conftest import SF_SMOKE
 
 
 def test_sampled_is_bit_identical_when_sample_is_corpus(spark):
-    """stride == 1 → the sample IS the corpus and the sampled trainer
+    """Saturated threshold → the sample IS the corpus and the sampled trainer
     must reproduce the registered shortlist path exactly (fixture
     k=8: target = 8*8 = 64 ≥ n would need tiny n, so force it with a
     huge sample_per_cell)."""
@@ -82,7 +82,7 @@ def test_sampled_join_strategy_is_value_invariant(spark):
 @pytest.fixture(scope="module")
 def sampled_vs_full_2k(spark):
     """Run both paths once at the 2k planted-pair rung (sample is a
-    genuine ~1/8 subset there: target = 8·k = 248, stride = 8) and
+    genuine ~1/8 subset there: target = 8·k = 248, thr = 8126/65536) and
     hand the assignments + dup flags to the agreement tests."""
     from scripts.scale_probe import build_embeddings
     from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
