@@ -76,11 +76,79 @@ class CommitConflict(Exception):
     and the transaction cannot be safely re-applied automatically."""
 
 
+def _json_stat(v):
+    """Normalize a parquet-footer statistic (or a caller-supplied bound)
+    to a JSON-storable value that still ORDERS correctly against its
+    peers: ints/floats/strs pass through, date/datetime become ISO
+    strings (fixed-width — lexicographic order IS chronological order,
+    the same portability trick splits.py uses for hex), bytes decode
+    best-effort. Mixed-type comparisons never happen because a stat and
+    a bound for the same column normalize through the same function."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return str(v)
+
+
+def _footer_min_max(md, cols: tuple[str, ...]) -> dict:
+    """Per-file [min, max] per requested column, aggregated across the
+    footer's row-group statistics. A column missing statistics in ANY
+    row group yields no entry — absence of stats must read as 'may
+    contain anything', never as a false exclusion."""
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _json_stat(st.min), _json_stat(st.max)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
+
+
+def _may_match(stats: dict | None, prune: dict) -> bool:
+    """Can a file with these per-column [min, max] stats contain a row
+    inside every pruning interval? ``prune`` maps column → (lo, hi)
+    (either bound None = unbounded). Missing stats (file predates stats
+    collection, or the column had none) → conservatively True."""
+    if not prune:
+        return True
+    if not stats:
+        return True
+    for col, (lo, hi) in prune.items():
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        if lo is not None and mx < _json_stat(lo):
+            return False
+        if hi is not None and mn > _json_stat(hi):
+            return False
+    return True
+
+
 @dataclass
 class Snapshot:
     version: int
     files: tuple[str, ...]  # live data files, table-root-relative
     ops: tuple[dict, ...] = field(default=(), repr=False)  # for history()
+    # per-live-file add metadata (bytes / rows / optional column stats)
+    meta: dict = field(default_factory=dict, repr=False)
 
 
 class TransactionalTable:
@@ -140,12 +208,14 @@ class TransactionalTable:
         if version is not None:
             versions = [v for v in versions if v <= version]
         live: set[str] = set()
+        meta: dict = {}
         ops: list[dict] = []
         start = 0
         cp = self._latest_checkpoint() if version is None else None
         if cp and (version is None or cp[0] <= version):
             start, state = cp
             live = set(state["files"])
+            meta = dict(state.get("meta", {}))
             ops = list(state.get("ops", []))
         for v in versions:
             if v <= start:
@@ -154,26 +224,41 @@ class TransactionalTable:
                 entry = json.load(fh)
             for a in entry.get("add", []):
                 live.add(a["file"])
+                meta[a["file"]] = a
             for r in entry.get("remove", []):
                 live.discard(r["file"])
+                meta.pop(r["file"], None)
             ops.append({"version": v, **entry.get("op", {})})
         return Snapshot(
             version=versions[-1] if versions else 0,
             files=tuple(sorted(live)),
             ops=tuple(ops),
+            meta=meta,
         )
 
     def _try_create(self, version: int, entry: dict) -> bool:
         """THE atomic primitive: exactly one writer creates N.json.
         (On an object store without create-if-absent this is the one
-        call to route through a commit coordinator.)"""
+        call to route through a commit coordinator.)
+
+        The entry is fully written to a hidden temp file FIRST, then
+        hard-linked to the version name — link(2) fails with EEXIST if
+        the name exists, giving the same exactly-one-winner guarantee
+        as O_CREAT|O_EXCL, but the version file is COMPLETE the instant
+        it becomes visible. (The earlier create-then-write form had a
+        read-side race: a concurrent snapshot() could open N.json after
+        creation but before the JSON body landed — observed once as a
+        flaked concurrent-append test.)"""
         path = os.path.join(self.log_path, f"{version:0{_PAD}d}.json")
+        tmp = os.path.join(self.log_path, f".commit-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as fh:
-            json.dump(entry, fh)
+        finally:
+            os.unlink(tmp)
         self._maybe_checkpoint(version)
         return True
 
@@ -183,16 +268,33 @@ class TransactionalTable:
         snap = self.snapshot(version=version)
         tmp = os.path.join(self.log_path, f".cp-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"files": list(snap.files), "ops": list(snap.ops)}, fh)
+            json.dump(
+                {"files": list(snap.files), "ops": list(snap.ops), "meta": snap.meta},
+                fh,
+            )
         os.replace(tmp, os.path.join(self.log_path, f"{version:0{_PAD}d}.checkpoint.json"))
 
     # -- data-file staging ---------------------------------------------
 
-    def _stage_files(self, spark: SparkSession, df: DataFrame) -> list[dict]:
+    def _stage_files(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+    ) -> list[dict]:
         """Write df's partitions as immutable uuid-named parquet files
         under data/ and return their add-actions. The Spark write is
         fully distributed; the per-file rename is metadata-only and
-        the files stay invisible until a log entry references them."""
+        the files stay invisible until a log entry references them.
+
+        ``stats_cols`` additionally records per-file min/max for those
+        columns in the add-action (``"stats": {col: [min, max]}``) —
+        read straight off the parquet FOOTER's row-group statistics
+        (no data scan; the executors already computed them during the
+        write). This is the Delta-paper data-skipping design: the log
+        carries enough metadata that a reader or a DML operation can
+        exclude files whose value interval cannot intersect a
+        predicate, without opening them."""
         tag = uuid.uuid4().hex
         staging = os.path.join(self.root, f"_staging-{tag}")
         df.write.mode("overwrite").parquet(staging)
@@ -203,13 +305,17 @@ class TransactionalTable:
             name = f"{tag}-part-{i:05d}.parquet"
             dest = os.path.join(self.data_path, name)
             os.replace(part, dest)
-            adds.append(
-                {
-                    "file": f"{DATA_DIR}/{name}",
-                    "bytes": os.path.getsize(dest),
-                    "rows": pq.ParquetFile(dest).metadata.num_rows,
-                }
-            )
+            md = pq.ParquetFile(dest).metadata
+            add = {
+                "file": f"{DATA_DIR}/{name}",
+                "bytes": os.path.getsize(dest),
+                "rows": md.num_rows,
+            }
+            if stats_cols and md.num_rows:
+                stats = _footer_min_max(md, stats_cols)
+                if stats:
+                    add["stats"] = stats
+            adds.append(add)
         shutil.rmtree(staging, ignore_errors=True)
         return adds
 
@@ -222,11 +328,19 @@ class TransactionalTable:
 
     # -- write operations ----------------------------------------------
 
-    def append(self, spark: SparkSession, df: DataFrame, max_retries: int = 50) -> int:
+    def append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        max_retries: int = 50,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
         """Blind append: commutes with every other commit, so a version
         collision just means someone else was faster — retry at the
-        next slot with the SAME staged files. Never loses an update."""
-        adds = self._stage_files(spark, df)
+        next slot with the SAME staged files. Never loses an update.
+        ``stats_cols`` records per-file min/max in the log for
+        data-skipping reads and DML (see ``_stage_files``)."""
+        adds = self._stage_files(spark, df, stats_cols=stats_cols)
         entry = {"add": adds, "op": {"op": "append", "ts": time.time()}}
         v = self.snapshot().version + 1
         for _ in range(max_retries):
@@ -304,6 +418,68 @@ class TransactionalTable:
             self._abandon(adds)  # stale inputs: recompute from new snapshot
         raise CommitConflict(f"merge lost {max_retries} recompute rounds")
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        prune: dict | None = None,
+        stats_cols: tuple[str, ...] = (),
+        max_retries: int = 5,
+    ) -> int | None:
+        """Copy-on-write DELETE with file-level data skipping — the
+        Delta-paper DML shape, and the operation a training-data lake
+        actually runs (takedown requests, contaminated-source purges).
+
+        ``condition`` is a SQL boolean; rows where it evaluates TRUE
+        are deleted (NULL ⇒ kept, standard DML semantics). ``prune``
+        optionally bounds where matches can live — column → (lo, hi)
+        intervals (None = unbounded side) that the caller guarantees
+        contain every matching row. Files whose logged min/max stats
+        cannot intersect every interval are NOT read and NOT
+        rewritten: their add-actions simply survive into the next
+        snapshot untouched. At 100 TB this is the difference between
+        rewriting one date partition and rewriting the lake — the scan
+        cost is O(matching files), metadata-decided from the log alone,
+        no file opened. Files without stats conservatively rewrite.
+
+        ``stats_cols`` controls the stats recorded on the REWRITTEN
+        files (default: the prune columns, so skipping keeps working
+        after the delete). Returns the committed version, or None if
+        pruning proved no file could match (no commit — deleting
+        nothing is a no-op, not a new version). Conflicts behave like
+        :meth:`merge_upsert`: any intervening commit makes the read
+        set stale, so recompute from the fresh snapshot and retry."""
+        from pyspark.sql import functions as F
+
+        stats_cols = stats_cols or tuple(prune or ())
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            touched = [
+                f
+                for f in snap.files
+                if _may_match(snap.meta.get(f, {}).get("stats"), prune or {})
+            ]
+            if not touched:
+                return None
+            survivors = self._read_files(spark, tuple(touched)).filter(
+                ~F.coalesce(F.expr(condition), F.lit(False))
+            )
+            adds = self._stage_files(spark, survivors, stats_cols=stats_cols)
+            entry = {
+                "add": adds,
+                "remove": [{"file": f} for f in touched],
+                "op": {
+                    "op": "delete",
+                    "condition": condition,
+                    "skipped_files": len(snap.files) - len(touched),
+                    "ts": time.time(),
+                },
+            }
+            if self._try_create(snap.version + 1, entry):
+                return snap.version + 1
+            self._abandon(adds)  # stale read set: recompute from new snapshot
+        raise CommitConflict(f"delete lost {max_retries} recompute rounds")
+
     def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int | None:
         """Rewrite the current live set into ~target_file_mb files.
         Content is unchanged, so a concurrent commit makes this
@@ -335,11 +511,30 @@ class TransactionalTable:
             return None
         return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: dict | None = None,
+    ) -> DataFrame:
         """The snapshot as a DataFrame (latest, or time-travel to
-        ``version``). Empty table → empty no-column frame."""
+        ``version``). Empty table → empty no-column frame.
+
+        ``prune`` (column → (lo, hi) intervals) applies log-level data
+        skipping: files whose recorded min/max cannot intersect every
+        interval are excluded from the scan entirely. The result is a
+        SUPERSET of the rows matching the intervals (files are pruned,
+        not rows) — apply the row-level filter on top; Spark then
+        pushes it into the surviving files' row groups, so the two
+        layers compose exactly like Delta's stats pruning + parquet
+        predicate pushdown."""
         snap = self.snapshot(version=version)
-        df = self._read_files(spark, snap.files)
+        files = snap.files
+        if prune:
+            files = tuple(
+                f for f in files if _may_match(snap.meta.get(f, {}).get("stats"), prune)
+            )
+        df = self._read_files(spark, files)
         return df if df is not None else spark.range(0).drop("id")
 
     def history(self) -> list[dict]:

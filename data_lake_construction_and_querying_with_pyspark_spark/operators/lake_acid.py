@@ -90,3 +90,46 @@ def acid_orders_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_upsert(spark, updates, ["o_orderkey"], delete_col="is_del")
     return t.read(spark).select(*cols)
+
+
+@register(
+    "acid_delete_data_skipping",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey > (SELECT (MAX(o_orderkey) // 2) // 2 FROM orders)
+    """,
+)
+def acid_delete_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE with file-level data skipping (r5): load
+    ``orders`` into the transactional table as two key-range batches
+    (min/max stats per file recorded in the commit log from the parquet
+    footers), then ``DELETE WHERE o_orderkey <= max/4`` with the prune
+    interval ``(None, max/4]``.
+
+    The batch above ``max/2`` is PROVABLY untouchable — every one of
+    its files carries ``min > max/2 > max/4`` in the log, so the delete
+    never opens them: it rewrites only the low batch's files
+    (``skipped_files`` in the commit's op record counts the saved
+    rewrites; tests/test_acid.py pins the untouched-by-name contract).
+    At 100 TB this is what makes DML affordable: cost scales with the
+    files that CAN match, decided from log metadata alone — the Delta
+    paper's stats-pruning design on this module's JSON log. Final
+    snapshot ≡ the oracle's one-pass range filter; both engines derive
+    the threshold with floor division from the same MAX."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    half, quarter = maxk // 2, (maxk // 2) // 2
+
+    root = _scratch("orders_delete", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)  # fresh lifecycle per build
+    t = TransactionalTable.create(root)
+    t.append(spark, orders.filter(F.col("o_orderkey") <= half), stats_cols=("o_orderkey",))
+    t.append(spark, orders.filter(F.col("o_orderkey") > half), stats_cols=("o_orderkey",))
+    t.delete_where(
+        spark,
+        f"o_orderkey <= {quarter}",
+        prune={"o_orderkey": (None, quarter)},
+    )
+    return t.read(spark).select(*cols)

@@ -87,11 +87,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-checked: round-4 additions + the r5 ACID query --
+    # -- never driver-checked: round-4 additions + the r5 ACID and
+    # sampled-SemDeDup queries --
     "knn_graph_top1",
     "knn_graph_topk",
     "dedup_canonical_corpus_embeddings",
     "acid_orders_lifecycle",
+    "semantic_dedup_sampled",
+    "acid_delete_data_skipping",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -116,10 +119,12 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "topk_global_orders",
     "window_running_total",
     "window_topk_per_customer",
-    # -- r3-aged re-verification picks (23 of 44; rest rotate r6 —
-    # recursive_transition_paths was the 24th pick and rotated out to
-    # make room for acid_orders_lifecycle; its latest row stays r3,
-    # exactly at the ≤2-rounds-old contract edge for r5) --
+    # -- r3-aged re-verification picks (21 of 44; rest rotate r6 —
+    # recursive_transition_paths rotated out for acid_orders_lifecycle,
+    # asof_latest_order_per_event for semantic_dedup_sampled, and
+    # doc_repetition_signals for acid_delete_data_skipping; all three
+    # keep their r3 rows, exactly at the ≤2-rounds-old contract edge
+    # for r5) --
     "dedup_canonical_corpus",
     "dedup_exact_documents",
     "dedup_minhash_near_dup",
@@ -141,8 +146,6 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "outlier_orders_zscore",
     "unigram_rarity_scores",
     "text_token_stats",
-    "doc_repetition_signals",
-    "asof_latest_order_per_event",
 )
 
 

@@ -246,6 +246,113 @@ def test_log_entries_are_json_with_stats(table, spark):
     assert all(a["bytes"] > 0 for a in entry["add"])
 
 
+def test_append_records_min_max_stats(spark, table):
+    table.append(spark, _batch(spark, 10, 20), stats_cols=("k",))
+    snap = table.snapshot()
+    stats = [snap.meta[f].get("stats", {}) for f in snap.files]
+    assert all("k" in s for s in stats)
+    los = min(s["k"][0] for s in stats)
+    his = max(s["k"][1] for s in stats)
+    assert (los, his) == (10, 19)
+
+
+def test_delete_where_skips_disjoint_files(spark, table):
+    """The data-skipping contract: files whose stats interval cannot
+    intersect the prune interval are neither read nor rewritten — their
+    add-actions survive the delete commit BY NAME."""
+    table.append(spark, _batch(spark, 0, 50), stats_cols=("k",))
+    table.append(spark, _batch(spark, 100, 150, "b"), stats_cols=("k",))
+    high_files = {
+        f for f in table.snapshot().files
+        if table.snapshot().meta[f]["stats"]["k"][0] >= 100
+    }
+    assert high_files
+    v = table.delete_where(spark, "k < 25", prune={"k": (None, 24)})
+    assert v == 3
+    snap = table.snapshot()
+    # untouched-by-name: every high file survived the rewrite
+    assert high_files <= set(snap.files)
+    # and the log records how many files skipping saved
+    op = [o for o in table.history() if o.get("op") == "delete"][0]
+    assert op["skipped_files"] == len(high_files)
+    got = _rows(table.read(spark))
+    assert got == {(i, "a") for i in range(25, 50)} | {(i, "b") for i in range(100, 150)}
+
+
+def test_delete_where_noop_when_all_files_pruned(spark, table):
+    table.append(spark, _batch(spark, 0, 10), stats_cols=("k",))
+    v_before = table.snapshot().version
+    assert table.delete_where(spark, "k > 500", prune={"k": (501, None)}) is None
+    assert table.snapshot().version == v_before  # no empty commit
+
+
+def test_delete_without_prune_rewrites_everything_same_result(spark, table):
+    table.append(spark, _batch(spark, 0, 50), stats_cols=("k",))
+    table.append(spark, _batch(spark, 100, 150, "b"), stats_cols=("k",))
+    files_before = set(table.snapshot().files)
+    table.delete_where(spark, "k < 25")
+    snap = table.snapshot()
+    assert files_before.isdisjoint(snap.files)  # all rewritten
+    got = _rows(table.read(spark))
+    assert got == {(i, "a") for i in range(25, 50)} | {(i, "b") for i in range(100, 150)}
+
+
+def test_delete_null_condition_keeps_row(spark, table):
+    """SQL DML semantics: a NULL predicate does NOT delete the row."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 2, F.col("id")).alias("flag"),  # NULL for k>=2
+    ).coalesce(1)
+    table.append(spark, df)
+    table.delete_where(spark, "flag >= 1")  # NULL >= 1 is NULL → keep
+    assert {r["k"] for r in table.read(spark).collect()} == {0, 2, 3}
+
+
+def test_delete_preserves_time_travel(spark, table):
+    table.append(spark, _batch(spark, 0, 10), stats_cols=("k",))
+    table.delete_where(spark, "k < 5", prune={"k": (None, 4)})
+    assert {r["k"] for r in table.read(spark, version=1).collect()} == set(range(10))
+    assert {r["k"] for r in table.read(spark).collect()} == set(range(5, 10))
+
+
+def test_read_prune_skips_files(spark, table):
+    table.append(spark, _batch(spark, 0, 50), stats_cols=("k",))
+    table.append(spark, _batch(spark, 100, 150, "b"), stats_cols=("k",))
+    pruned = table.read(spark, prune={"k": (120, 130)})
+    # superset of matches, but only from non-skipped files
+    ks = {r["k"] for r in pruned.collect()}
+    assert set(range(120, 131)) <= ks
+    assert ks <= set(range(100, 150))  # the low file never scanned
+
+
+def test_delete_conflict_recomputes(spark, table):
+    """An append landing between a delete's snapshot and its commit
+    must not be lost: the delete recomputes from the fresh snapshot."""
+    table.append(spark, _batch(spark, 0, 10), stats_cols=("k",))
+
+    interfered = []
+    orig = table._try_create
+
+    def racing_create(version, entry):
+        if entry.get("op", {}).get("op") == "delete" and not interfered:
+            interfered.append(True)
+            orig(
+                version,
+                {
+                    "add": table._stage_files(spark, _batch(spark, 3, 4, "late")),
+                    "op": {"op": "append"},
+                },
+            )
+        return orig(version, entry)
+
+    table._try_create = racing_create
+    table.delete_where(spark, "k < 5", prune={"k": (None, 4)})
+    got = _rows(table.read(spark))
+    assert got == {(i, "a") for i in range(5, 10)}  # late (3,'late') deleted too
+
+
 def test_streaming_acid_append_exactly_once(spark, tmp_path):
     """Drain a 4-file source through streaming_acid_append twice with
     the SAME checkpoint (second run replays nothing) and once with a
