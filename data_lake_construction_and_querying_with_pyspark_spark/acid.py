@@ -480,24 +480,62 @@ class TransactionalTable:
             self._abandon(adds)  # stale read set: recompute from new snapshot
         raise CommitConflict(f"delete lost {max_retries} recompute rounds")
 
-    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int | None:
-        """Rewrite the current live set into ~target_file_mb files.
-        Content is unchanged, so a concurrent commit makes this
-        compaction's output stale garbage — abort (returning None) and
-        let the orphans vacuum; never retry into someone's commit."""
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_mb: int = 128,
+        cluster_by: tuple[str, ...] = (),
+        n_files: int | None = None,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int | None:
+        """Rewrite the current live set into ~target_file_mb files
+        (or exactly ``n_files``). Content is unchanged, so a concurrent
+        commit makes this compaction's output stale garbage — abort
+        (returning None) and let the orphans vacuum; never retry into
+        someone's commit.
+
+        ``cluster_by`` makes this ``OPTIMIZE ... ZORDER BY``: rows are
+        range-partitioned and sorted on the bit-interleaved equi-depth
+        Z-value over those columns (``sources.sinks.with_zvalue`` — the
+        same layout machinery as ``write_zorder_lake``), and the
+        rewritten add-actions record min/max stats for them (plus any
+        ``stats_cols``), so after compaction a pruned ``read``/
+        ``delete_where`` on ANY prefix-free subset of the clustered
+        dimensions skips ~n^(1-1/k) of the files instead of scanning
+        all of them. Clustering + stats + log-level skipping compose
+        into the full Delta OPTIMIZE story on this JSON log."""
         snap = self.snapshot()
         if not snap.files:
             return None
         total = sum(
             os.path.getsize(os.path.join(self.root, f)) for f in snap.files
         )
-        n = max(1, round(total / (target_file_mb << 20)))
-        df = self._read_files(spark, snap.files).repartition(n)
-        adds = self._stage_files(spark, df)
+        n = n_files or max(1, round(total / (target_file_mb << 20)))
+        df = self._read_files(spark, snap.files)
+        if cluster_by:
+            from data_lake_construction_and_querying_with_pyspark_spark.sources.sinks import (
+                with_zvalue,
+            )
+
+            df = (
+                with_zvalue(df, list(cluster_by))
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.repartition(n)
+        adds = self._stage_files(
+            spark, df, stats_cols=tuple(dict.fromkeys((*cluster_by, *stats_cols)))
+        )
         entry = {
             "add": adds,
             "remove": [{"file": f} for f in snap.files],
-            "op": {"op": "compact", "ts": time.time()},
+            "op": {
+                "op": "compact",
+                **({"cluster_by": list(cluster_by)} if cluster_by else {}),
+                "ts": time.time(),
+            },
         }
         if self._try_create(snap.version + 1, entry):
             return snap.version + 1

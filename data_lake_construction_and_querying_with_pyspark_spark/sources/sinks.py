@@ -83,6 +83,28 @@ def write_zorder_lake(
     Numeric, date and timestamp columns only (strings have no
     order-preserving binning without a full sort).
     """
+    tagged = with_zvalue(df, zorder_cols, bits_per_col=bits_per_col, rel_err=rel_err)
+    out = (
+        tagged.repartitionByRange(n_files, "__z")
+        if n_files
+        else tagged.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").format(fmt).save(path)
+
+
+def with_zvalue(
+    df: DataFrame,
+    zorder_cols: list[str],
+    bits_per_col: int = 8,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """``df`` plus a ``__z`` bigint column: the bit-interleaved
+    equi-depth-bucket Z-value over ``zorder_cols`` (the clustering key
+    ``write_zorder_lake`` range-partitions on — extracted so the ACID
+    table's clustered compaction can reuse the identical layout
+    machinery). One sampled ``approxQuantile`` driver pass for the
+    bucket bounds; the Z-value itself is a pure JVM expression chain
+    inside whole-stage codegen."""
     from pyspark.sql import functions as F
 
     n_buckets = 1 << bits_per_col
@@ -118,14 +140,7 @@ def write_zorder_lake(
                 F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
                 bit * len(zorder_cols) + ci,
             )
-
-    tagged = df.withColumn("__z", z)
-    out = (
-        tagged.repartitionByRange(n_files, "__z")
-        if n_files
-        else tagged.repartitionByRange("__z")
-    )
-    out.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").format(fmt).save(path)
+    return df.withColumn("__z", z)
 
 
 def write_bucketed_table(

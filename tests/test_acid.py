@@ -353,6 +353,46 @@ def test_delete_conflict_recomputes(spark, table):
     assert got == {(i, "a") for i in range(5, 10)}  # late (3,'late') deleted too
 
 
+def test_clustered_compact_enables_skipping(spark, table):
+    """OPTIMIZE-style clustered compaction: appends whose files each
+    span the FULL key range (stats useless — every file may-match any
+    interval) become range-disjoint files after compact(cluster_by),
+    so pruned reads and DML actually skip."""
+    from pyspark.sql import functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import _may_match
+
+    evens = spark.range(0, 1000, 2).select(F.col("id").alias("k"), F.lit("a").alias("flag")).coalesce(1)
+    odds = spark.range(1, 1000, 2).select(F.col("id").alias("k"), F.lit("b").alias("flag")).coalesce(1)
+    table.append(spark, evens, stats_cols=("k",))
+    table.append(spark, odds, stats_cols=("k",))
+    before = {(r["k"], r["flag"]) for r in table.read(spark).collect()}
+
+    def may_match_count(prune):
+        snap = table.snapshot()
+        return sum(
+            _may_match(snap.meta.get(f, {}).get("stats"), prune) for f in snap.files
+        )
+
+    narrow = {"k": (0, 99)}
+    assert may_match_count(narrow) == 2  # interleaved: stats exclude nothing
+
+    v = table.compact(spark, cluster_by=("k",), n_files=4)
+    assert v is not None
+    snap = table.snapshot()
+    assert len(snap.files) == 4
+    assert {(r["k"], r["flag"]) for r in table.read(spark).collect()} == before
+    # range-clustered files: a 10% key interval hits ≤2 of 4 files
+    # (≥1 always; 2 allows an approxQuantile boundary straddle)
+    assert 1 <= may_match_count(narrow) <= 2
+    # and DML skips the rest
+    table.delete_where(spark, "k < 100", prune={"k": (None, 99)})
+    op = [o for o in table.history() if o.get("op") == "delete"][0]
+    assert op["skipped_files"] >= 2
+    got = {r["k"] for r in table.read(spark).collect()}
+    assert got == set(range(100, 1000))
+
+
 def test_streaming_acid_append_exactly_once(spark, tmp_path):
     """Drain a 4-file source through streaming_acid_append twice with
     the SAME checkpoint (second run replays nothing) and once with a
