@@ -155,6 +155,7 @@ _NESTED_LOOP_OK = {
     "knn_graph_topk",  # same construction, windowed top-3 variant
     "join_key_skew_profile",  # keys × broadcast 1-row total
     "semantic_dedup_embeddings",  # corpus × broadcast k-centroid table (Lloyd's assign)
+    "semantic_dedup_sampled",  # same 1-row anchor-array broadcast in the shortlist assign
     "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
     "bm25_topk_documents",  # postings × broadcast 1-row corpus stats
     "tfidf_top_terms_per_doc",  # postings × broadcast 1-row doc count
