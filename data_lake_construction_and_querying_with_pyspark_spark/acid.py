@@ -76,6 +76,54 @@ class CommitConflict(Exception):
     and the transaction cannot be safely re-applied automatically."""
 
 
+class SchemaMismatch(Exception):
+    """The incoming DataFrame's schema is incompatible with the table's
+    committed schema (and ``merge_schema`` wasn't set, or the change is
+    not a pure column addition)."""
+
+
+def _schema_fields(schema: dict) -> dict:
+    """name → type-json of a Spark StructType jsonValue (metadata and
+    field order dropped: schema compatibility is name/type-based, like
+    Delta's — column order is presentation, not contract)."""
+    return {f["name"]: f["type"] for f in schema.get("fields", [])}
+
+
+def _evolve_schema(current: dict | None, incoming: dict, merge_schema: bool) -> dict | None:
+    """Validate ``incoming`` against ``current`` and return the schema
+    the commit should RECORD (None = unchanged). First write defines
+    the schema. Exact match (names+types, order-insensitive) → None.
+    With ``merge_schema``, NEW columns append to the table schema and
+    MISSING columns are tolerated (their values read as NULL); a TYPE
+    change is never auto-merged — that's a rewrite (overwrite), not an
+    evolution. Without ``merge_schema``, any drift raises — the
+    enforcement that keeps one bad upstream job from silently forking
+    a 100 TB table's schema."""
+    if current is None:
+        return incoming
+    cur, inc = _schema_fields(current), _schema_fields(incoming)
+    type_changes = {n for n in cur.keys() & inc.keys() if cur[n] != inc[n]}
+    if type_changes:
+        raise SchemaMismatch(
+            f"type change on column(s) {sorted(type_changes)} — evolution only "
+            "adds columns; rewrite the table (overwrite) to change a type"
+        )
+    added, missing = inc.keys() - cur.keys(), cur.keys() - inc.keys()
+    if not added and not missing:
+        return None
+    if not merge_schema:
+        raise SchemaMismatch(
+            f"schema drift (added={sorted(added)}, missing={sorted(missing)}); "
+            "pass merge_schema=True to evolve by column addition"
+        )
+    if not added:
+        return None  # subset write under evolution: schema unchanged
+    new_fields = list(current["fields"]) + [
+        f for f in incoming["fields"] if f["name"] in added
+    ]
+    return {**current, "fields": new_fields}
+
+
 def _json_stat(v):
     """Normalize a parquet-footer statistic (or a caller-supplied bound)
     to a JSON-storable value that still ORDERS correctly against its
@@ -149,6 +197,9 @@ class Snapshot:
     ops: tuple[dict, ...] = field(default=(), repr=False)  # for history()
     # per-live-file add metadata (bytes / rows / optional column stats)
     meta: dict = field(default_factory=dict, repr=False)
+    # committed table schema (Spark StructType jsonValue); None before
+    # the first write
+    schema: dict | None = field(default=None, repr=False)
 
 
 class TransactionalTable:
@@ -210,6 +261,7 @@ class TransactionalTable:
         live: set[str] = set()
         meta: dict = {}
         ops: list[dict] = []
+        schema: dict | None = None
         start = 0
         cp = self._latest_checkpoint() if version is None else None
         if cp and (version is None or cp[0] <= version):
@@ -217,6 +269,7 @@ class TransactionalTable:
             live = set(state["files"])
             meta = dict(state.get("meta", {}))
             ops = list(state.get("ops", []))
+            schema = state.get("schema")
         for v in versions:
             if v <= start:
                 continue
@@ -228,12 +281,15 @@ class TransactionalTable:
             for r in entry.get("remove", []):
                 live.discard(r["file"])
                 meta.pop(r["file"], None)
+            if "schema" in entry:
+                schema = entry["schema"]
             ops.append({"version": v, **entry.get("op", {})})
         return Snapshot(
             version=versions[-1] if versions else 0,
             files=tuple(sorted(live)),
             ops=tuple(ops),
             meta=meta,
+            schema=schema,
         )
 
     def _try_create(self, version: int, entry: dict) -> bool:
@@ -269,7 +325,12 @@ class TransactionalTable:
         tmp = os.path.join(self.log_path, f".cp-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(
-                {"files": list(snap.files), "ops": list(snap.ops), "meta": snap.meta},
+                {
+                    "files": list(snap.files),
+                    "ops": list(snap.ops),
+                    "meta": snap.meta,
+                    "schema": snap.schema,
+                },
                 fh,
             )
         os.replace(tmp, os.path.join(self.log_path, f"{version:0{_PAD}d}.checkpoint.json"))
@@ -334,15 +395,35 @@ class TransactionalTable:
         df: DataFrame,
         max_retries: int = 50,
         stats_cols: tuple[str, ...] = (),
+        merge_schema: bool = False,
     ) -> int:
         """Blind append: commutes with every other commit, so a version
         collision just means someone else was faster — retry at the
         next slot with the SAME staged files. Never loses an update.
         ``stats_cols`` records per-file min/max in the log for
-        data-skipping reads and DML (see ``_stage_files``)."""
+        data-skipping reads and DML (see ``_stage_files``).
+
+        Schema ENFORCEMENT: the incoming frame must match the table's
+        committed schema (names+types, order-insensitive) or the append
+        raises ``SchemaMismatch`` before writing a byte — one
+        misconfigured upstream job cannot silently fork a table's
+        schema. ``merge_schema=True`` permits evolution by column
+        ADDITION (the new schema rides this commit's log entry; old
+        files' missing columns read as NULL via the log-schema-driven
+        scan) and tolerates missing columns in the incoming frame.
+        Validation is pinned at the pre-stage snapshot — concurrent
+        appends commute on content, and racing a schema CHANGE against
+        an append is a coordination error this log surfaces in history
+        rather than arbitrates."""
+        snap0 = self.snapshot()
+        schema_change = _evolve_schema(
+            snap0.schema, df.schema.jsonValue(), merge_schema
+        )
         adds = self._stage_files(spark, df, stats_cols=stats_cols)
         entry = {"add": adds, "op": {"op": "append", "ts": time.time()}}
-        v = self.snapshot().version + 1
+        if schema_change is not None:
+            entry["schema"] = schema_change
+        v = snap0.version + 1
         for _ in range(max_retries):
             if self._try_create(v, entry):
                 return v
@@ -364,6 +445,9 @@ class TransactionalTable:
                 "add": adds,
                 "remove": [{"file": f} for f in snap.files],
                 "op": {"op": "overwrite", "ts": time.time()},
+                # overwrite REDEFINES the schema (it replaced every row;
+                # this is the sanctioned way to change a column's type)
+                "schema": df.schema.jsonValue(),
             }
             if self._try_create(snap.version + 1, entry):
                 return snap.version + 1
@@ -383,6 +467,7 @@ class TransactionalTable:
         key_cols: list[str],
         delete_col: str | None = None,
         max_retries: int = 5,
+        merge_schema: bool = False,
     ) -> int:
         """Keyed MERGE with full serializability: reads snapshot v,
         computes existing ⟕anti updates ∪ surviving-updates, commits at
@@ -390,20 +475,28 @@ class TransactionalTable:
         between (its inputs may be stale), the merge RECOMPUTES from
         the fresh snapshot and tries again — the copy-on-write
         transaction loop. At scale, partition the table and merge only
-        dirty partitions; the loop is identical."""
+        dirty partitions; the loop is identical.
+
+        Updates obey the same schema contract as :meth:`append`:
+        drift raises ``SchemaMismatch`` unless ``merge_schema=True``
+        evolves by column addition (existing rows carry NULL in the
+        new columns)."""
         from pyspark.sql import functions as F
 
         for _ in range(max_retries):
             snap = self.snapshot()
-            existing = self._read_files(spark, snap.files)
             surviving = (
                 updates.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
                 if delete_col
                 else updates
             )
+            schema_change = _evolve_schema(
+                snap.schema, surviving.schema.jsonValue(), merge_schema
+            )
+            existing = self._read_files(spark, snap.files, schema=snap.schema)
             merged = (
                 existing.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
-                .unionByName(surviving)
+                .unionByName(surviving, allowMissingColumns=merge_schema)
                 if existing is not None
                 else surviving
             )
@@ -413,6 +506,8 @@ class TransactionalTable:
                 "remove": [{"file": f} for f in snap.files],
                 "op": {"op": "merge", "keys": key_cols, "ts": time.time()},
             }
+            if schema_change is not None:
+                entry["schema"] = schema_change
             if self._try_create(snap.version + 1, entry):
                 return snap.version + 1
             self._abandon(adds)  # stale inputs: recompute from new snapshot
@@ -461,9 +556,9 @@ class TransactionalTable:
             ]
             if not touched:
                 return None
-            survivors = self._read_files(spark, tuple(touched)).filter(
-                ~F.coalesce(F.expr(condition), F.lit(False))
-            )
+            survivors = self._read_files(
+                spark, tuple(touched), schema=snap.schema
+            ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
             adds = self._stage_files(spark, survivors, stats_cols=stats_cols)
             entry = {
                 "add": adds,
@@ -511,7 +606,7 @@ class TransactionalTable:
             os.path.getsize(os.path.join(self.root, f)) for f in snap.files
         )
         n = n_files or max(1, round(total / (target_file_mb << 20)))
-        df = self._read_files(spark, snap.files)
+        df = self._read_files(spark, snap.files, schema=snap.schema)
         if cluster_by:
             from data_lake_construction_and_querying_with_pyspark_spark.sources.sinks import (
                 with_zvalue,
@@ -544,10 +639,26 @@ class TransactionalTable:
 
     # -- read side ------------------------------------------------------
 
-    def _read_files(self, spark: SparkSession, files: tuple[str, ...]) -> DataFrame | None:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: tuple[str, ...],
+        schema: dict | None = None,
+    ) -> DataFrame | None:
+        """Scan data files. When the table has a committed ``schema``,
+        it DRIVES the scan (``spark.read.schema(...)``) — the Delta
+        design: an evolved table's older files simply lack the new
+        columns and the reader fills NULL, with no per-file footer
+        merging (``mergeSchema`` would re-open every footer; the log
+        already knows the answer)."""
         if not files:
             return None
-        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+        reader = spark.read
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema))
+        return reader.parquet(*[os.path.join(self.root, f) for f in files])
 
     def read(
         self,
@@ -572,8 +683,14 @@ class TransactionalTable:
             files = tuple(
                 f for f in files if _may_match(snap.meta.get(f, {}).get("stats"), prune)
             )
-        df = self._read_files(spark, files)
-        return df if df is not None else spark.range(0).drop("id")
+        df = self._read_files(spark, files, schema=snap.schema)
+        if df is not None:
+            return df
+        if snap.schema is not None:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(snap.schema))
+        return spark.range(0).drop("id")
 
     def history(self) -> list[dict]:
         return list(self.snapshot().ops)

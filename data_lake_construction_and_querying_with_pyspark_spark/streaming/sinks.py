@@ -333,7 +333,12 @@ def streaming_acid_append(
             "add": adds,
             "op": {"op": "stream_append", "batch_id": batch_id, "ts": _time.time()},
         }
-        v = table.snapshot().version + 1
+        snap0 = table.snapshot()
+        if snap0.schema is None:
+            # first writer stamps the table schema so later batch
+            # appends get the same enforcement as the batch API
+            entry["schema"] = batch_df.schema.jsonValue()
+        v = snap0.version + 1
         for _ in range(50):
             if table._try_create(v, entry):
                 return

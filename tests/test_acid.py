@@ -14,6 +14,7 @@ import pytest
 from data_lake_construction_and_querying_with_pyspark_spark.acid import (
     CHECKPOINT_EVERY,
     CommitConflict,
+    SchemaMismatch,
     TransactionalTable,
 )
 
@@ -351,6 +352,87 @@ def test_delete_conflict_recomputes(spark, table):
     table.delete_where(spark, "k < 5", prune={"k": (None, 4)})
     got = _rows(table.read(spark))
     assert got == {(i, "a") for i in range(5, 10)}  # late (3,'late') deleted too
+
+
+def test_schema_drift_rejected_before_writing(spark, table):
+    """One misconfigured upstream job cannot fork the table schema:
+    an append with an extra column, a missing column, or a changed
+    type raises BEFORE any file lands."""
+    from pyspark.sql import functions as F
+
+    table.append(spark, _batch(spark, 0, 3))
+    files_before = set(table.snapshot().files)
+
+    extra = _batch(spark, 3, 5).withColumn("extra", F.lit(1))
+    with pytest.raises(SchemaMismatch, match="extra"):
+        table.append(spark, extra)
+    with pytest.raises(SchemaMismatch, match="missing"):
+        table.append(spark, _batch(spark, 3, 5).drop("flag"))
+    retyped = spark.range(3, 5).select(
+        F.col("id").cast("int").alias("k"), F.lit("a").alias("flag")
+    )
+    with pytest.raises(SchemaMismatch, match="type change"):
+        table.append(spark, retyped, merge_schema=True)  # not even evolution
+
+    assert set(table.snapshot().files) == files_before  # nothing landed
+    assert len(os.listdir(table.data_path)) == len(files_before)  # no orphans
+
+
+def test_schema_evolution_adds_column(spark, table):
+    from pyspark.sql import functions as F
+
+    table.append(spark, _batch(spark, 0, 2))
+    evolved = _batch(spark, 2, 4).withColumn("score", F.lit(1.5))
+    table.append(spark, evolved, merge_schema=True)
+    got = {(r["k"], r["flag"], r["score"]) for r in table.read(spark).collect()}
+    assert got == {(0, "a", None), (1, "a", None), (2, "a", 1.5), (3, "a", 1.5)}
+    # evolution tolerates subset writes afterwards (score reads NULL)
+    table.append(spark, _batch(spark, 4, 5), merge_schema=True)
+    assert table.read(spark).columns == ["k", "flag", "score"]
+    assert {r["k"] for r in table.read(spark).collect()} == set(range(5))
+    # time travel sees the PRE-evolution schema
+    assert table.read(spark, version=1).columns == ["k", "flag"]
+
+
+def test_schema_survives_checkpoint_and_overwrite_redefines(spark, table):
+    from pyspark.sql import functions as F
+
+    for i in range(CHECKPOINT_EVERY + 1):
+        table.append(spark, _batch(spark, i, i + 1))
+    assert table.snapshot().schema is not None
+    # overwrite is the sanctioned type change
+    retyped = spark.range(2).select(
+        F.col("id").cast("int").alias("k"), F.lit(9.9).alias("flag")
+    )
+    table.overwrite(spark, retyped)
+    assert [f.dataType.simpleString() for f in table.read(spark).schema.fields] == [
+        "int",
+        "double",
+    ]
+    with pytest.raises(SchemaMismatch):
+        table.append(spark, _batch(spark, 0, 1))  # old shape now rejected
+
+
+def test_merge_schema_evolution_in_merge_upsert(spark, table):
+    from pyspark.sql import functions as F
+
+    table.append(spark, _batch(spark, 0, 4))
+    updates = spark.range(2, 6).select(
+        F.col("id").alias("k"), F.lit("m").alias("flag"), F.lit(7).alias("v2")
+    )
+    with pytest.raises(SchemaMismatch):
+        table.merge_upsert(spark, updates, ["k"])
+    table.merge_upsert(spark, updates, ["k"], merge_schema=True)
+    got = {(r["k"], r["flag"], r["v2"]) for r in table.read(spark).collect()}
+    assert got == {(0, "a", None), (1, "a", None)} | {(i, "m", 7) for i in range(2, 6)}
+
+
+def test_empty_table_read_carries_schema_after_full_delete(spark, table):
+    table.append(spark, _batch(spark, 0, 3))
+    table.delete_where(spark, "k >= 0")
+    df = table.read(spark)
+    assert df.count() == 0
+    assert df.columns == ["k", "flag"]
 
 
 def test_clustered_compact_enables_skipping(spark, table):
