@@ -575,6 +575,69 @@ class TransactionalTable:
             self._abandon(adds)  # stale read set: recompute from new snapshot
         raise CommitConflict(f"delete lost {max_retries} recompute rounds")
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        set_exprs: dict[str, str],
+        prune: dict | None = None,
+        stats_cols: tuple[str, ...] = (),
+        max_retries: int = 5,
+    ) -> int | None:
+        """Copy-on-write UPDATE — ``delete_where``'s sibling, completing
+        the DML family (INSERT = append, MERGE, DELETE, UPDATE).
+        Rows where ``condition`` is TRUE get each ``set_exprs`` column
+        replaced by its SQL expression (evaluated against the OLD row,
+        standard UPDATE semantics; NULL condition ⇒ untouched); every
+        assignment is cast back to the column's committed type, so an
+        UPDATE can never fork the table schema. File-level pruning,
+        stats re-recording, conflict-recompute, and the
+        ``skipped_files`` op record all behave exactly as in
+        :meth:`delete_where` — cost scales with files that CAN match."""
+        from pyspark.sql import functions as F
+
+        unknown = set(set_exprs) - set(_schema_fields(self.snapshot().schema or {"fields": []}))
+        if self.snapshot().schema is not None and unknown:
+            raise SchemaMismatch(f"UPDATE sets unknown column(s) {sorted(unknown)}")
+        stats_cols = stats_cols or tuple(prune or ())
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            touched = [
+                f
+                for f in snap.files
+                if _may_match(snap.meta.get(f, {}).get("stats"), prune or {})
+            ]
+            if not touched:
+                return None
+            df = self._read_files(spark, tuple(touched), schema=snap.schema)
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            updated = df.select(
+                *[
+                    F.when(cond, F.expr(set_exprs[c]).cast(df.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            adds = self._stage_files(spark, updated, stats_cols=stats_cols)
+            entry = {
+                "add": adds,
+                "remove": [{"file": f} for f in touched],
+                "op": {
+                    "op": "update",
+                    "condition": condition,
+                    "set": dict(set_exprs),
+                    "skipped_files": len(snap.files) - len(touched),
+                    "ts": time.time(),
+                },
+            }
+            if self._try_create(snap.version + 1, entry):
+                return snap.version + 1
+            self._abandon(adds)  # stale read set: recompute from new snapshot
+        raise CommitConflict(f"update lost {max_retries} recompute rounds")
+
     def compact(
         self,
         spark: SparkSession,

@@ -435,6 +435,56 @@ def test_empty_table_read_carries_schema_after_full_delete(spark, table):
     assert df.columns == ["k", "flag"]
 
 
+def test_update_where_values_and_skipping(spark, table):
+    """UPDATE's RHS sees the OLD row, NULL conditions leave rows
+    untouched, pruning preserves disjoint files by name, and the
+    result schema is bit-identical to the committed one."""
+    from pyspark.sql import functions as F
+
+    table.append(spark, _batch(spark, 0, 50), stats_cols=("k",))
+    table.append(spark, _batch(spark, 100, 150, "b"), stats_cols=("k",))
+    high_files = {
+        f for f in table.snapshot().files
+        if table.snapshot().meta[f]["stats"]["k"][0] >= 100
+    }
+    schema_before = table.read(spark).schema
+    table.update_where(
+        spark,
+        "k < 10",
+        {"flag": "concat(flag, '!')", "k": "k + 1000"},
+        prune={"k": (None, 9)},
+    )
+    snap = table.snapshot()
+    assert high_files <= set(snap.files)  # untouched by name
+    op = [o for o in table.history() if o.get("op") == "update"][0]
+    assert op["skipped_files"] == len(high_files)
+    got = _rows(table.read(spark))
+    assert got == (
+        {(i + 1000, "a!") for i in range(10)}  # RHS saw the old k
+        | {(i, "a") for i in range(10, 50)}
+        | {(i, "b") for i in range(100, 150)}
+    )
+    assert table.read(spark).schema == schema_before
+
+
+def test_update_unknown_column_rejected(spark, table):
+    table.append(spark, _batch(spark, 0, 3))
+    with pytest.raises(SchemaMismatch, match="nope"):
+        table.update_where(spark, "k = 0", {"nope": "1"})
+
+
+def test_update_null_condition_untouched(spark, table):
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 2, F.col("id")).alias("flag"),  # NULL for k>=2
+    ).coalesce(1)
+    table.append(spark, df)
+    table.update_where(spark, "flag >= 0", {"k": "k + 100"})
+    assert {r["k"] for r in table.read(spark).collect()} == {100, 101, 2, 3}
+
+
 def test_clustered_compact_enables_skipping(spark, table):
     """OPTIMIZE-style clustered compaction: appends whose files each
     span the FULL key range (stats useless — every file may-match any
