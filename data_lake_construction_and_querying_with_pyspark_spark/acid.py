@@ -758,6 +758,70 @@ class TransactionalTable:
     def history(self) -> list[dict]:
         return list(self.snapshot().ops)
 
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed (Delta CDF-shaped) for the commit range
+        ``(from_version, to_version]``: every row carries
+        ``_change_type`` (``insert`` | ``delete``) and
+        ``_commit_version``. An UPDATE surfaces as delete(old row) +
+        insert(new row); a rewrite that changes nothing (compaction)
+        contributes nothing.
+
+        Cost model (the 100 TB point): an append commit is
+        METADATA-ONLY — its added files ARE the inserts, no diff runs;
+        only rewrite commits (merge / delete / update / overwrite) pay a
+        bag-difference (``exceptAll``) over exactly the files that
+        commit touched, never the whole table. Downstream incremental
+        consumers therefore pay O(changed data), which is what makes a
+        lake table usable as a streaming source.
+
+        All files in the range are read under the ``to_version``
+        schema; a range crossing a type-changing overwrite should be
+        split at that commit (evolution by column addition is fine —
+        older files read NULL)."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot(version=to_version)
+        to_version = to_version if to_version is not None else snap.version
+
+        def _tag(df: DataFrame, change: str, v: int) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(change).alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+            )
+
+        parts: list[DataFrame] = []
+        for v in self._versions():
+            if not (from_version < v <= to_version):
+                continue
+            with open(os.path.join(self.log_path, f"{v:0{_PAD}d}.json")) as fh:
+                entry = json.load(fh)
+            added = tuple(a["file"] for a in entry.get("add", []) if a.get("rows"))
+            removed = tuple(r["file"] for r in entry.get("remove", []))
+            add_df = self._read_files(spark, added, schema=snap.schema)
+            rem_df = self._read_files(spark, removed, schema=snap.schema)
+            if rem_df is None and add_df is not None:  # append: metadata-only
+                parts.append(_tag(add_df, "insert", v))
+                continue
+            if add_df is not None:
+                ins = add_df.exceptAll(rem_df) if rem_df is not None else add_df
+                parts.append(_tag(ins, "insert", v))
+            if rem_df is not None:
+                dels = rem_df.exceptAll(add_df) if add_df is not None else rem_df
+                parts.append(_tag(dels, "delete", v))
+        if not parts:
+            base = self.read(spark, version=to_version).limit(0)
+            return _tag(base, "insert", 0).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600) -> int:
         """Delete data files no LOG VERSION ever referenced — the
         orphans of crashed or aborted transactions — once older than

@@ -525,6 +525,50 @@ def test_clustered_compact_enables_skipping(spark, table):
     assert got == set(range(100, 1000))
 
 
+def test_change_feed_rowlevel(spark, table):
+    """CDC across the DML family: appends are metadata-only inserts,
+    UPDATE = delete(old)+insert(new), DELETE = deletes, compaction
+    contributes NOTHING, and replaying the feed over an old snapshot
+    reproduces the latest state (the incremental-consumer contract)."""
+    table.append(spark, _batch(spark, 0, 5))                       # v1
+    table.append(spark, _batch(spark, 5, 8, "b"), stats_cols=("k",))  # v2
+    table.update_where(spark, "k = 1", {"flag": "'u'"})            # v3
+    table.delete_where(spark, "k >= 6", prune={"k": (6, None)})    # v4
+    assert table.compact(spark) == 5                               # v5: no-op feed
+
+    ch = table.changes(spark, 0)
+    rows = [(r["k"], r["flag"], r["_change_type"], r["_commit_version"]) for r in ch.collect()]
+    by_v = {}
+    for k, flag, typ, v in rows:
+        by_v.setdefault(v, set()).add((k, flag, typ))
+    assert by_v[1] == {(i, "a", "insert") for i in range(5)}
+    assert by_v[2] == {(i, "b", "insert") for i in range(5, 8)}
+    assert by_v[3] == {(1, "a", "delete"), (1, "u", "insert")}
+    assert by_v[4] == {(6, "b", "delete"), (7, "b", "delete")}
+    assert 5 not in by_v  # compaction: zero logical changes
+
+    # incremental-consumer replay: state(v2) + feed(2→latest) == latest
+    state = [(r["k"], r["flag"]) for r in table.read(spark, version=2).collect()]
+    for k, flag, typ, _ in sorted(
+        [(r["k"], r["flag"], r["_change_type"], r["_commit_version"])
+         for r in table.changes(spark, 2).collect()],
+        key=lambda t: t[3],
+    ):
+        if typ == "insert":
+            state.append((k, flag))
+        else:
+            state.remove((k, flag))
+    latest = [(r["k"], r["flag"]) for r in table.read(spark).collect()]
+    assert sorted(state) == sorted(latest)
+
+
+def test_change_feed_empty_range(spark, table):
+    table.append(spark, _batch(spark, 0, 3))
+    ch = table.changes(spark, 1)  # nothing after v1
+    assert ch.count() == 0
+    assert set(ch.columns) == {"k", "flag", "_change_type", "_commit_version"}
+
+
 def test_streaming_acid_append_exactly_once(spark, tmp_path):
     """Drain a 4-file source through streaming_acid_append twice with
     the SAME checkpoint (second run replays nothing) and once with a
