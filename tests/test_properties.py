@@ -180,3 +180,119 @@ def test_deterministic_shuffle_is_permutation(spark, seed_salt):
     out = q(spark, SF_SMOKE).collect()
     n = len(out)
     assert sorted(r.pos for r in out) == list(range(1, n + 1))
+
+
+# -- pure ACID-log helpers: no Spark session, so hypothesis can be
+# generous with examples -------------------------------------------------
+
+_iv = st.tuples(st.integers(-50, 50), st.integers(-50, 50)).map(sorted)
+
+
+@given(
+    rows=st.lists(st.integers(-50, 50), min_size=1, max_size=20),
+    bounds=st.tuples(
+        st.one_of(st.none(), st.integers(-60, 60)),
+        st.one_of(st.none(), st.integers(-60, 60)),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_may_match_never_false_excludes(rows, bounds):
+    """Soundness of data skipping: if ANY row value lies inside the
+    prune interval, a file whose stats are the true [min,max] of those
+    rows must be considered a match — skipping may be conservative,
+    never lossy."""
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import _may_match
+
+    lo, hi = bounds
+    stats = {"k": [min(rows), max(rows)]}
+    has_match = any(
+        (lo is None or v >= lo) and (hi is None or v <= hi) for v in rows
+    )
+    if has_match:
+        assert _may_match(stats, {"k": (lo, hi)})
+    # absent stats are always conservative
+    assert _may_match(None, {"k": (lo, hi)})
+    assert _may_match({}, {"k": (lo, hi)})
+    assert _may_match({"other": [0, 1]}, {"k": (lo, hi)})
+
+
+_field = st.tuples(st.sampled_from("abcdef"), st.sampled_from(["long", "string", "double"]))
+
+
+def _schema_of(fields):
+    return {
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": t, "nullable": True, "metadata": {}}
+            for n, t in dict(fields).items()
+        ],
+    }
+
+
+@given(
+    cur=st.lists(_field, min_size=1, max_size=5),
+    inc=st.lists(_field, min_size=1, max_size=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_evolve_schema_invariants(cur, inc):
+    """For any pair of schemas: exact-match → no change recorded; a
+    type conflict always raises; otherwise evolution preserves every
+    current column (same type, same order) and appends exactly the
+    added ones; strict mode rejects any drift. Evolution is
+    idempotent: evolving with the same frame again records nothing."""
+    import pytest as _pytest
+
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import (
+        SchemaMismatch,
+        _evolve_schema,
+        _schema_fields,
+    )
+
+    current, incoming = _schema_of(cur), _schema_of(inc)
+    c, i = _schema_fields(current), _schema_fields(incoming)
+    conflict = any(c[n] != i[n] for n in c.keys() & i.keys())
+    if conflict:
+        for ms in (False, True):
+            with _pytest.raises(SchemaMismatch):
+                _evolve_schema(current, incoming, ms)
+        return
+    out = _evolve_schema(current, incoming, merge_schema=True)
+    if i.keys() <= c.keys():
+        assert out is None  # nothing added → schema unchanged
+        if c.keys() != i.keys():
+            with _pytest.raises(SchemaMismatch):
+                _evolve_schema(current, incoming, merge_schema=False)
+        return
+    with _pytest.raises(SchemaMismatch):
+        _evolve_schema(current, incoming, merge_schema=False)
+    names = [f["name"] for f in out["fields"]]
+    assert names[: len(c)] == [f["name"] for f in current["fields"]]
+    assert set(names) == c.keys() | i.keys()
+    assert _schema_fields(out) == {**i, **c}
+    assert _evolve_schema(out, incoming, merge_schema=True) is None  # idempotent
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-10**6, 10**6),
+            st.dates(),
+            st.datetimes(),
+            st.text(alphabet="abc01", max_size=8),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_json_stat_is_order_preserving_within_type(vals):
+    """The stored stat form must order exactly like the source values
+    (the property file pruning correctness rests on): applying
+    _json_stat preserves <= for any two values of the SAME type."""
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import _json_stat
+
+    for a in vals:
+        for b in vals:
+            if type(a) is not type(b):
+                continue
+            assert (a <= b) == (_json_stat(a) <= _json_stat(b))
