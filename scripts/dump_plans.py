@@ -232,6 +232,18 @@ COMMENTARY = {
         "Exchange carries one row per vector, never the candidate "
         "multiset."
     ),
+    "semantic_dedup_sampled": (
+        "Sample-trained SemDeDup (the 10M-ready registered "
+        "configuration): the md5-threshold sample is a scan-time Filter "
+        "directly above the cached corpus (no shuffle, no RNG state — "
+        "the same subtree the DuckDB oracle replays), training "
+        "iterations run the shortlist assignment over only those ~8·k "
+        "rows, and the ONE full-corpus pass is the final shortlist "
+        "assignment: broadcast anchor-array probes as pure projection, "
+        "broadcast bucket equi-join, map-side min_by argmin — n rows "
+        "cross the exchange exactly once for assignment regardless of "
+        "corpus size, and training cost is corpus-size-independent."
+    ),
 }
 
 
