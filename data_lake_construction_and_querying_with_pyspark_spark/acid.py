@@ -363,16 +363,23 @@ class TransactionalTable:
 
         adds = []
         for i, part in enumerate(sorted(Path(staging).glob("*.parquet"))):
+            md = pq.ParquetFile(part).metadata
+            if md.num_rows == 0:
+                # a 0-row part adds nothing and carries no stats — if it
+                # entered the log it would conservatively match EVERY
+                # prune interval forever (measured: a range-filtered
+                # append leaves most partitions empty, and those empties
+                # were 13 of 49 files a pruned DELETE had to rewrite)
+                continue
             name = f"{tag}-part-{i:05d}.parquet"
             dest = os.path.join(self.data_path, name)
             os.replace(part, dest)
-            md = pq.ParquetFile(dest).metadata
             add = {
                 "file": f"{DATA_DIR}/{name}",
                 "bytes": os.path.getsize(dest),
                 "rows": md.num_rows,
             }
-            if stats_cols and md.num_rows:
+            if stats_cols:
                 stats = _footer_min_max(md, stats_cols)
                 if stats:
                     add["stats"] = stats
