@@ -118,8 +118,13 @@ def _evolve_schema(current: dict | None, incoming: dict, merge_schema: bool) -> 
         )
     if not added:
         return None  # subset write under evolution: schema unchanged
+    # added columns are forced NULLABLE regardless of the incoming
+    # frame's nullability: every pre-evolution file reads NULL for
+    # them, so a non-nullable evolved column would be a lie that
+    # strict readers (e.g. the Arrow path of the acid_table data
+    # source) enforce with a crash
     new_fields = list(current["fields"]) + [
-        f for f in incoming["fields"] if f["name"] in added
+        {**f, "nullable": True} for f in incoming["fields"] if f["name"] in added
     ]
     return {**current, "fields": new_fields}
 

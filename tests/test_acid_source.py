@@ -1,0 +1,136 @@
+"""The ``acid_table`` Python Data Source (sources/acid_source.py):
+batch scans match the API read, the streaming source tails the commit
+log exactly-once across stop/restart, rewrite commits fail loud by
+default and are skippable with ignore_changes."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_lake_construction_and_querying_with_pyspark_spark.acid import TransactionalTable
+from data_lake_construction_and_querying_with_pyspark_spark.sources.acid_source import (
+    register_acid_source,
+)
+
+
+def _batch(spark, lo, hi, flag="a"):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), F.lit(flag).alias("flag"))
+        .coalesce(1)
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    register_acid_source(spark)
+    t = TransactionalTable.create(str(tmp_path / "t"))
+    return t
+
+
+def test_batch_format_matches_api_read(spark, table):
+    table.append(spark, _batch(spark, 0, 5))
+    table.append(spark, _batch(spark, 5, 8, "b"))
+    via_format = spark.read.format("acid_table").option("path", table.root).load()
+    assert via_format.columns == ["k", "flag"]
+    got = {(r["k"], r["flag"]) for r in via_format.collect()}
+    want = {(r["k"], r["flag"]) for r in table.read(spark).collect()}
+    assert got == want and len(got) == 8
+
+
+def test_batch_format_reads_pre_evolution_files_with_nulls(spark, table):
+    table.append(spark, _batch(spark, 0, 2))
+    table.append(
+        spark, _batch(spark, 2, 4).withColumn("score", F.lit(1.5)), merge_schema=True
+    )
+    got = {
+        (r["k"], r["score"])
+        for r in spark.read.format("acid_table")
+        .option("path", table.root)
+        .load()
+        .collect()
+    }
+    assert got == {(0, None), (1, None), (2, 1.5), (3, 1.5)}
+
+
+def _drain(spark, table, cp, expected_rows, **opts):
+    """Run the stream until ``expected_rows`` arrive, return the rows.
+    foreachBatch sink (checkpoint-recoverable, unlike memory); Python
+    stream sources don't support Trigger.AvailableNow yet, so poll the
+    default micro-batch trigger and stop."""
+    rows: list = []
+    reader = spark.readStream.format("acid_table").option("path", table.root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+
+    def sink(batch_df, _batch_id):
+        rows.extend((r["k"], r["flag"]) for r in batch_df.collect())
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len(rows) >= expected_rows:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError(f"timed out waiting for {expected_rows} rows, got {rows}")
+        time.sleep(1.0)  # settle: prove nothing further arrives
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return rows
+
+
+def test_stream_tails_commit_log_exactly_once(spark, table, tmp_path):
+    cp = str(tmp_path / "cp")
+    table.append(spark, _batch(spark, 0, 5))
+    table.append(spark, _batch(spark, 5, 8, "b"))
+    got = set(_drain(spark, table, cp, 8))
+    assert got == {(i, "a") for i in range(5)} | {(i, "b") for i in range(5, 8)}
+
+    # restart from the SAME checkpoint: only the new commit is emitted
+    table.append(spark, _batch(spark, 8, 10, "c"))
+    got2 = _drain(spark, table, cp, 2)
+    assert sorted(got2) == [(8, "c"), (9, "c")]  # no replay of 0..7
+
+
+def test_stream_raises_on_rewrite_unless_ignored(spark, table, tmp_path):
+    table.append(spark, _batch(spark, 0, 6), stats_cols=("k",))
+    table.delete_where(spark, "k < 2", prune={"k": (None, 1)})
+    table.append(spark, _batch(spark, 10, 12, "z"))
+
+    q = (
+        spark.readStream.format("acid_table")
+        .option("path", table.root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("acid_fail")
+        .option("checkpointLocation", str(tmp_path / "cp_fail"))
+        .start()
+    )
+    with pytest.raises(Exception, match="rewrite commit"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed on the delete commit")
+
+    got = set(
+        _drain(spark, table, str(tmp_path / "cp_skip"), 8, ignore_changes="true")
+    )
+    # appends-only view: the delete's rewrite commit is skipped entirely
+    assert got == {(i, "a") for i in range(6)} | {(10, "z"), (11, "z")}
+
+
+def test_schema_required(spark, tmp_path):
+    register_acid_source(spark)
+    t = TransactionalTable.create(str(tmp_path / "empty"))
+    with pytest.raises(Exception, match="no committed schema"):
+        spark.read.format("acid_table").option("path", t.root).load().collect()
