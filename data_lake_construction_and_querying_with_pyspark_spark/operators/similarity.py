@@ -605,3 +605,192 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_SCALED_TABLES,
         n_planes=_SCALED_PLANES,
     )
+
+
+# -- Product quantization (ADC) ------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_KSTAR = 16  # centroids per subspace → 4-bit codes
+PQ_ITERS = 2  # Lloyd's iterations per codebook
+PQ_SAMPLE_PER_CENTROID = 16  # codebooks train on ~PQ_KSTAR·this vectors
+
+
+def _pq_subvectors(base: DataFrame) -> DataFrame:
+    """Long form (vec_id, j, sub): the m disjoint 8-dim slices of each
+    vector — one posexplode over a literal-array of slices, pure
+    projection."""
+    slices = F.array(
+        *[F.slice("v", j * PQ_SUBDIM + 1, PQ_SUBDIM) for j in range(PQ_M)]
+    )
+    return base.select("vec_id", F.posexplode(slices).alias("j", "sub"))
+
+
+def _pq_literal_codebooks(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(r["j"]), int(r["cell"]), [float(x) for x in r["cent"]]) for r in rows],
+        "j int, cell int, cent array<double>",
+    )
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codebook centroid per (vec_id, subspace): broadcast the
+    m·k* codebook table, fold d2 over 8 dims, map-side min_by collapse
+    — only n·m skinny rows reach the exchange."""
+    d2 = (
+        dot("sub", "sub") - F.lit(2) * dot("sub", "cent") + dot("cent", "cent")
+    ).alias("d2")
+    best = F.min_by(F.col("cell"), F.struct("d2", "cell")).alias("code")
+    return (
+        subs.join(F.broadcast(codebooks), "j")
+        .select("vec_id", "j", "cell", d2)
+        .groupBy("vec_id", "j")
+        .agg(best)
+    )
+
+
+def pq_train_codebooks(
+    spark: SparkSession,
+    base: DataFrame,
+    iters: int = PQ_ITERS,
+    sample_per_centroid: int = PQ_SAMPLE_PER_CENTROID,
+) -> DataFrame:
+    """Deterministic per-subspace codebooks: seeds are the PQ_KSTAR
+    lowest-vec_id subvectors (no RNG), updates are decimal-exact means
+    (the SemDeDup machinery's contract), training runs on an
+    md5-threshold sample (~sample_per_centroid·k* vectors) so codebook
+    cost is corpus-size-independent. All m subspaces train
+    SIMULTANEOUSLY in one keyed pipeline — the codebook table is
+    (j, cell, cent), m·k* = 128 rows, driver-materialized between
+    iterations like any distributed k-means."""
+    n = base.count()
+    target = min(n, PQ_KSTAR * sample_per_centroid)
+    thr = min(65536, (target * 65536) // max(1, n))
+    sample = (
+        base
+        if thr >= 65536
+        else base.filter(
+            F.substring(
+                F.md5(F.concat(F.lit("pqsample:"), F.col("vec_id").cast("string"))),
+                1,
+                4,
+            )
+            < format(thr, "04x")
+        )
+    )
+    seeds = _pq_subvectors(base.orderBy("vec_id").limit(PQ_KSTAR)).select(
+        "j",
+        F.col("sub").alias("cent"),
+        (
+            F.row_number().over(
+                Window.partitionBy("j").orderBy("vec_id")
+            )
+            - 1
+        ).alias("cell"),
+    )
+    codebooks = _pq_literal_codebooks(spark, seeds.collect())
+    subs_s = _pq_subvectors(sample).persist()
+    for _ in range(iters):
+        assigned = _pq_assign(subs_s, codebooks).join(
+            subs_s, ["vec_id", "j"]
+        )
+        means = (
+            assigned.select("j", F.col("code").alias("cell"), F.posexplode("sub").alias("pos", "val"))
+            .groupBy("j", "cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("j", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cent")
+            )
+        )
+        codebooks = _pq_literal_codebooks(spark, means.collect())
+    return codebooks
+
+
+def pq_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_ids,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """ANN top-k via PRODUCT QUANTIZATION with asymmetric distance
+    computation (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): each vector is stored as m=8 4-bit codes (8
+    BYTES instead of 512 — the RAM-compression scale path; a 100 TB
+    embedding corpus's codes fit a few hundred GB and stay in memory),
+    and a query scores the whole corpus by summing m table lookups per
+    vector instead of a 64-dim dot product.
+
+    Plan: codebooks broadcast (m·k* = 128 rows); encoding is the same
+    map-side min_by assignment as training; the query-side distance
+    table (query × codebook → per-(j, cell) partial d2) is ~128 rows
+    per query, broadcast into an equi-join with the code table on
+    (j, cell); the per-(query, vec) sum is one partial-aggregated
+    exchange of n rows per query. The ADC top-k then gets an EXACT
+    cosine rerank (top_k·|queries| vectors — trivial), so emitted
+    cosines are true values, ranked by the approximate distance."""
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    codebooks = pq_train_codebooks(spark, base)
+    codes = _pq_assign(_pq_subvectors(base), codebooks)
+
+    queries = base.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qsubs = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("qv", j * PQ_SUBDIM + 1, PQ_SUBDIM) for j in range(PQ_M)])
+        ).alias("j", "qsub"),
+    )
+    qd2 = (
+        dot("qsub", "qsub") - F.lit(2) * dot("qsub", "cent") + dot("cent", "cent")
+    ).alias("pd2")
+    qdist = qsubs.join(F.broadcast(codebooks), "j").select("query_id", "j", "cell", qd2)
+
+    adc = (
+        codes.join(
+            F.broadcast(qdist),
+            (codes["j"] == qdist["j"]) & (codes["code"] == qdist["cell"]),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    top = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rn")
+    )
+    # exact rerank values on the tiny top-k set
+    nm = base.select("vec_id", "v", F.sqrt(dot("v", "v")).alias("norm"))
+    qn = nm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cosine = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
+    return (
+        F.broadcast(top)
+        .join(nm, top["neighbor_id"] == nm["vec_id"])
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"), "adc_d2", "rn")
+    )
+
+
+@register("knn_pq_adc", doc="PQ-ADC ANN top-10 (rows-only; recall-tested in pytest)")
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for the 5 demo queries via product quantization —
+    rows-only driver check (codebook training is exact-deterministic,
+    but the 8-subspace × 2-iteration CTE replay would be the largest
+    oracle in the repo; recall vs brute force and planted-clone
+    recovery are pinned in tests/test_similarity.py instead)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(spark, emb, query_ids=range(_N_QUERIES))

@@ -106,3 +106,69 @@ def test_ivf_probe_recall(spark):
     # probing 2/16 cells of near-uniform random vectors: recall well
     # above the ~12% random-scan floor proves cells align with geometry
     assert recall >= 0.2, f"IVF recall {recall:.2f}"
+
+
+def test_pq_adc_recovers_planted_clones(spark):
+    """PQ-ADC on the planted-pair probe corpus: a clone pair's two
+    members quantize to (near-)identical codes, so each queried member
+    must see its partner at ADC rank 1 (ties aside, within top-3) —
+    the PQ analogue of the LSH planted-recovery tests. Also: the exact
+    rerank emits TRUE cosines (partner cosine ≈ 1)."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import pq_topk
+
+    n = 2000
+    emb = build_embeddings(spark, n)
+    # near-pair members: k%20==1 groups → ids (2k, 2k+1); query the even member
+    queries = [2 * k for k in range(n // 2) if k % 20 == 1][:20]
+    out = pq_topk(spark, emb, query_ids=queries).collect()
+    spark.catalog.clearCache()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["neighbor_id"], r["cosine"]))
+    assert set(by_q) == set(queries)
+    hits = 0
+    for q in queries:
+        ranked = sorted(by_q[q])
+        partner = q + 1
+        in_top3 = [nb for rn, nb, _ in ranked[:3]]
+        if partner in in_top3:
+            hits += 1
+            cos = [c for rn, nb, c in ranked if nb == partner][0]
+            assert cos > 0.99  # rerank emits TRUE cosine, not ADC distance
+    assert hits >= 18, f"planted partner in ADC top-3 for only {hits}/20 queries"
+
+
+def test_pq_codes_are_compact_and_complete(spark):
+    """Every vector gets exactly m codes in [0, k*): the 8-bytes-per-
+    vector compression claim is literal."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        PQ_KSTAR,
+        PQ_M,
+        _pq_assign,
+        _pq_subvectors,
+        as_double_vec,
+        pq_train_codebooks,
+    )
+    from pyspark.sql import functions as F
+
+    emb = build_embeddings(spark, 500)
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    cb = pq_train_codebooks(spark, base)
+    # dead centroids may drop during training (no sample member
+    # assigned — standard Lloyd's); every subspace keeps ≥2 live cells
+    per_j = {r["j"]: r["c"] for r in cb.groupBy("j").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(per_j) == set(range(PQ_M))
+    assert all(2 <= c <= PQ_KSTAR for c in per_j.values())
+    codes = _pq_assign(_pq_subvectors(base), cb)
+    stats = codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    )
+    bad = stats.filter(
+        (F.col("m") != PQ_M) | (F.col("lo") < 0) | (F.col("hi") >= PQ_KSTAR)
+    ).count()
+    spark.catalog.clearCache()
+    assert bad == 0
