@@ -175,6 +175,47 @@ def _footer_min_max(md, cols: tuple[str, ...]) -> dict:
     return out
 
 
+_BLOOM_K = 7  # hash functions → ~1% FPR at 10 bits/row
+
+
+def _bloom_hashes(value) -> list[int]:
+    """K deterministic hash positions for a value: md5 over the
+    normalized stat form with per-hash salts (cross-run stable,
+    platform-independent — the same portability bar as the md5
+    sampling keys)."""
+    import hashlib
+
+    v = repr(_json_stat(value)).encode()
+    return [
+        int.from_bytes(hashlib.md5(b"bloom%d:" % i + v).digest()[:8], "big")
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(values, n_bits: int) -> str:
+    bits = 0
+    for v in values:
+        if v is None:
+            continue
+        for h in _bloom_hashes(v):
+            bits |= 1 << (h % n_bits)
+    return f"{n_bits}:{bits:x}"
+
+
+def _bloom_may_contain(bloom: str, value) -> bool:
+    n_bits_s, _, hex_bits = bloom.partition(":")
+    n_bits, bits = int(n_bits_s), int(hex_bits, 16)
+    return all(bits >> (h % n_bits) & 1 for h in _bloom_hashes(value))
+
+
+def _bloom_bits_for(rows: int) -> int:
+    """~10 bits/row rounded up to a power of two (FPR ≈ 1% with k=7),
+    floor 1024 — a 1M-row file's filter is ~1.2 MB of log metadata,
+    so bloom columns belong on FEW high-value key columns."""
+    n = max(1024, 10 * rows)
+    return 1 << (n - 1).bit_length()
+
+
 def _may_match(stats: dict | None, prune: dict) -> bool:
     """Can a file with these per-column [min, max] stats contain a row
     inside every pruning interval? ``prune`` maps column → (lo, hi)
@@ -192,6 +233,29 @@ def _may_match(stats: dict | None, prune: dict) -> bool:
             return False
         if hi is not None and mn > _json_stat(hi):
             return False
+    return True
+
+
+def _file_may_match(meta: dict | None, prune: dict | None, prune_eq: dict | None) -> bool:
+    """Full file-skipping decision for one add-action's metadata:
+    range intervals against min/max stats (``prune``) AND point
+    lookups against blooms + stats (``prune_eq``, column → value).
+    A bloom answering "definitely absent" excludes the file even when
+    the value sits inside its min/max range — the high-cardinality
+    case ranges can't prune. Missing metadata is always conservative
+    (may match)."""
+    meta = meta or {}
+    if not _may_match(meta.get("stats"), prune or {}):
+        return False
+    for col, val in (prune_eq or {}).items():
+        bl = (meta.get("blooms") or {}).get(col)
+        if bl is not None and not _bloom_may_contain(bl, val):
+            return False
+        st = (meta.get("stats") or {}).get(col)
+        if st is not None:
+            jv = _json_stat(val)
+            if jv < st[0] or jv > st[1]:
+                return False
     return True
 
 
@@ -347,6 +411,7 @@ class TransactionalTable:
         spark: SparkSession,
         df: DataFrame,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> list[dict]:
         """Write df's partitions as immutable uuid-named parquet files
         under data/ and return their add-actions. The Spark write is
@@ -360,7 +425,15 @@ class TransactionalTable:
         write). This is the Delta-paper data-skipping design: the log
         carries enough metadata that a reader or a DML operation can
         exclude files whose value interval cannot intersect a
-        predicate, without opening them."""
+        predicate, without opening them.
+
+        ``bloom_cols`` additionally records a per-file BLOOM FILTER
+        per column (``"blooms": {col: "nbits:hex"}``, ~10 bits/row,
+        k=7 → ~1% FPR) for POINT-lookup skipping where ranges can't
+        prune — the delete-one-id-from-100TB takedown case on an
+        unsorted key. Building it reads that one column back from the
+        staged file (columnar, cheap relative to having just written
+        it); keep bloom columns to the few high-value keys."""
         tag = uuid.uuid4().hex
         staging = os.path.join(self.root, f"_staging-{tag}")
         df.write.mode("overwrite").parquet(staging)
@@ -388,6 +461,17 @@ class TransactionalTable:
                 stats = _footer_min_max(md, stats_cols)
                 if stats:
                     add["stats"] = stats
+            if bloom_cols:
+                present = [c for c in bloom_cols if c in {
+                    md.schema.column(ci).name for ci in range(md.num_columns)
+                }]
+                if present:
+                    n_bits = _bloom_bits_for(md.num_rows)
+                    tbl = pq.read_table(dest, columns=present)
+                    add["blooms"] = {
+                        c: _bloom_build(tbl.column(c).to_pylist(), n_bits)
+                        for c in present
+                    }
             adds.append(add)
         shutil.rmtree(staging, ignore_errors=True)
         return adds
@@ -407,6 +491,7 @@ class TransactionalTable:
         df: DataFrame,
         max_retries: int = 50,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
         merge_schema: bool = False,
     ) -> int:
         """Blind append: commutes with every other commit, so a version
@@ -431,7 +516,7 @@ class TransactionalTable:
         schema_change = _evolve_schema(
             snap0.schema, df.schema.jsonValue(), merge_schema
         )
-        adds = self._stage_files(spark, df, stats_cols=stats_cols)
+        adds = self._stage_files(spark, df, stats_cols=stats_cols, bloom_cols=bloom_cols)
         entry = {"add": adds, "op": {"op": "append", "ts": time.time()}}
         if schema_change is not None:
             entry["schema"] = schema_change
@@ -530,7 +615,9 @@ class TransactionalTable:
         spark: SparkSession,
         condition: str,
         prune: dict | None = None,
+        prune_eq: dict | None = None,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
         max_retries: int = 5,
     ) -> int | None:
         """Copy-on-write DELETE with file-level data skipping — the
@@ -555,23 +642,34 @@ class TransactionalTable:
         pruning proved no file could match (no commit — deleting
         nothing is a no-op, not a new version). Conflicts behave like
         :meth:`merge_upsert`: any intervening commit makes the read
-        set stale, so recompute from the fresh snapshot and retry."""
+        set stale, so recompute from the fresh snapshot and retry.
+
+        ``prune_eq`` (column → value) adds POINT-lookup skipping
+        against per-file bloom filters + stats — the takedown case:
+        deleting one doc_id from an unsorted 100 TB table opens only
+        the ~1% of files whose bloom false-positives, instead of every
+        file whose key range happens to straddle the id. ``bloom_cols``
+        re-records blooms on the rewritten files (default: the
+        prune_eq columns)."""
         from pyspark.sql import functions as F
 
         stats_cols = stats_cols or tuple(prune or ())
+        bloom_cols = bloom_cols or tuple(prune_eq or ())
         for _ in range(max_retries):
             snap = self.snapshot()
             touched = [
                 f
                 for f in snap.files
-                if _may_match(snap.meta.get(f, {}).get("stats"), prune or {})
+                if _file_may_match(snap.meta.get(f), prune, prune_eq)
             ]
             if not touched:
                 return None
             survivors = self._read_files(
                 spark, tuple(touched), schema=snap.schema
             ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
-            adds = self._stage_files(spark, survivors, stats_cols=stats_cols)
+            adds = self._stage_files(
+                spark, survivors, stats_cols=stats_cols, bloom_cols=bloom_cols
+            )
             entry = {
                 "add": adds,
                 "remove": [{"file": f} for f in touched],
@@ -593,7 +691,9 @@ class TransactionalTable:
         condition: str,
         set_exprs: dict[str, str],
         prune: dict | None = None,
+        prune_eq: dict | None = None,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
         max_retries: int = 5,
     ) -> int | None:
         """Copy-on-write UPDATE — ``delete_where``'s sibling, completing
@@ -612,12 +712,13 @@ class TransactionalTable:
         if self.snapshot().schema is not None and unknown:
             raise SchemaMismatch(f"UPDATE sets unknown column(s) {sorted(unknown)}")
         stats_cols = stats_cols or tuple(prune or ())
+        bloom_cols = bloom_cols or tuple(prune_eq or ())
         for _ in range(max_retries):
             snap = self.snapshot()
             touched = [
                 f
                 for f in snap.files
-                if _may_match(snap.meta.get(f, {}).get("stats"), prune or {})
+                if _file_may_match(snap.meta.get(f), prune, prune_eq)
             ]
             if not touched:
                 return None
@@ -633,7 +734,9 @@ class TransactionalTable:
                     for c in df.columns
                 ]
             )
-            adds = self._stage_files(spark, updated, stats_cols=stats_cols)
+            adds = self._stage_files(
+                spark, updated, stats_cols=stats_cols, bloom_cols=bloom_cols
+            )
             entry = {
                 "add": adds,
                 "remove": [{"file": f} for f in touched],
@@ -740,23 +843,25 @@ class TransactionalTable:
         spark: SparkSession,
         version: int | None = None,
         prune: dict | None = None,
+        prune_eq: dict | None = None,
     ) -> DataFrame:
         """The snapshot as a DataFrame (latest, or time-travel to
         ``version``). Empty table → empty no-column frame.
 
         ``prune`` (column → (lo, hi) intervals) applies log-level data
         skipping: files whose recorded min/max cannot intersect every
-        interval are excluded from the scan entirely. The result is a
-        SUPERSET of the rows matching the intervals (files are pruned,
-        not rows) — apply the row-level filter on top; Spark then
-        pushes it into the surviving files' row groups, so the two
-        layers compose exactly like Delta's stats pruning + parquet
-        predicate pushdown."""
+        interval are excluded from the scan entirely. ``prune_eq``
+        (column → value) does the same for point lookups against the
+        per-file bloom filters. The result is a SUPERSET of the rows
+        matching the predicates (files are pruned, not rows) — apply
+        the row-level filter on top; Spark then pushes it into the
+        surviving files' row groups, so the two layers compose exactly
+        like Delta's stats pruning + parquet predicate pushdown."""
         snap = self.snapshot(version=version)
         files = snap.files
-        if prune:
+        if prune or prune_eq:
             files = tuple(
-                f for f in files if _may_match(snap.meta.get(f, {}).get("stats"), prune)
+                f for f in files if _file_may_match(snap.meta.get(f), prune, prune_eq)
             )
         df = self._read_files(spark, files, schema=snap.schema)
         if df is not None:

