@@ -49,6 +49,10 @@ _DEFAULTS = {
     # Spark's parquet reader rejects; read as long and convert in the
     # events reader (ns values are exact multiples of 1000 here).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python Data Source filter pushdown (off by default in Spark 4.1):
+    # lets the acid_table format's pushFilters() turn df.filter(...)
+    # into log-level file skipping (sources/acid_source.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
 }
 

@@ -89,12 +89,62 @@ class _AcidBatchReader(DataSourceReader):
     def __init__(self, root: str, schema: StructType):
         self.root = root
         self.columns = tuple(schema.fieldNames())
+        self._prune: dict = {}
+        self._prune_eq: dict = {}
+
+    def pushFilters(self, filters):
+        """Translate pushed comparison filters into log-level file
+        skipping: equalities feed the bloom + stats point check,
+        range comparisons tighten per-column [lo, hi] intervals
+        (inclusive bounds even for strict comparisons — pruning must
+        stay a SUPERSET). Every filter is returned as a residual:
+        Spark still applies it row-level, exactly as parquet's own
+        row-group pruning composes with post-scan filters — so a
+        plain ``df.filter("k = 202")`` on ``format("acid_table")``
+        never opens files whose bloom proves 202 absent, with zero
+        API surface for the user to hold."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def tighten(col, lo=None, hi=None):
+            cur_lo, cur_hi = self._prune.get(col, (None, None))
+            if lo is not None and (cur_lo is None or lo > cur_lo):
+                cur_lo = lo
+            if hi is not None and (cur_hi is None or hi < cur_hi):
+                cur_hi = hi
+            self._prune[col] = (cur_lo, cur_hi)
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col, val = attr[0], getattr(f, "value", None)
+            if val is None:
+                continue
+            if isinstance(f, EqualTo):
+                self._prune_eq[col] = val
+                tighten(col, lo=val, hi=val)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                tighten(col, lo=val)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                tighten(col, hi=val)
+        return iter(filters)  # all residual: row-level truth is Spark's
 
     def partitions(self):
+        from data_lake_construction_and_querying_with_pyspark_spark.acid import (
+            _file_may_match,
+        )
+
         snap = TransactionalTable(self.root).snapshot()
         return [
             _FilePartition(os.path.join(self.root, f), self.columns)
             for f in snap.files
+            if _file_may_match(snap.meta.get(f), self._prune, self._prune_eq)
         ]
 
     def read(self, partition):
@@ -168,5 +218,10 @@ class AcidTableDataSource(DataSource):
 
 
 def register_acid_source(spark) -> None:
-    """Idempotent registration of the ``acid_table`` format."""
+    """Idempotent registration of the ``acid_table`` format. Also
+    enables Python-data-source filter pushdown (a runtime SQL conf,
+    off by default in Spark 4.1) so ``pushFilters`` participates —
+    without it Spark REFUSES to plan a reader that implements the
+    hook."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(AcidTableDataSource)

@@ -134,3 +134,46 @@ def test_schema_required(spark, tmp_path):
     t = TransactionalTable.create(str(tmp_path / "empty"))
     with pytest.raises(Exception, match="no committed schema"):
         spark.read.format("acid_table").option("path", t.root).load().collect()
+
+
+def test_batch_pushdown_prunes_files(spark, table):
+    """df.filter on the acid_table format skips files via the log's
+    stats+blooms with no explicit prune API: the reader's partitions()
+    shrink, and results stay exact because every filter is also
+    applied row-level as a residual."""
+    for i in range(4):
+        table.append(
+            spark,
+            spark.range(400)
+            .select((F.col("id") * 4 + i).alias("k"), F.lit(f"f{i}").alias("flag"))
+            .coalesce(1),
+            stats_cols=("k",),
+            bloom_cols=("k",),
+        )
+    df = spark.read.format("acid_table").option("path", table.root).load()
+
+    # exact results through the pushdown path
+    got = [(r["k"], r["flag"]) for r in df.filter("k = 202").collect()]
+    assert got == [(202, "f2")]
+    got_range = sorted(r["k"] for r in df.filter("k >= 1590").collect())
+    assert got_range == list(range(1590, 1600))
+
+    # and the pruning really happened: drive the reader directly
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.acid_source import (
+        _AcidBatchReader,
+        _table_schema,
+    )
+
+    r = _AcidBatchReader(table.root, _table_schema(table.root))
+    assert len(r.partitions()) == 4  # no filters: all files
+    r = _AcidBatchReader(table.root, _table_schema(table.root))
+    residual = list(r.pushFilters([EqualTo(("k",), 202)]))
+    assert len(residual) == 1  # everything stays row-level residual
+    assert len(r.partitions()) <= 2  # bloom keeps f2 (+ ≤1 false positive)
+    r = _AcidBatchReader(table.root, _table_schema(table.root))
+    list(r.pushFilters([GreaterThanOrEqual(("k",), 1590)]))
+    # stats prune: every file's max is ≥1590? files are interleaved so
+    # ALL files straddle high keys — range pushdown keeps all 4 here,
+    # which is exactly why the bloom path exists
+    assert len(r.partitions()) == 4
