@@ -794,3 +794,126 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery are pinned in tests/test_similarity.py instead)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(spark, emb, query_ids=range(_N_QUERIES))
+
+
+IVFPQ_NPROBE = 2  # coarse cells probed per query (as knn_ivf_deterministic)
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_ids,
+    nprobe: int = IVFPQ_NPROBE,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """IVF-PQ — the full billion-scale ANN architecture (Jégou et al.
+    2011 §IV): a coarse quantizer restricts each query to ``nprobe``
+    inverted lists (~nprobe/k of the corpus), and PRODUCT-QUANTIZED
+    codes score those candidates by m table lookups apiece. The two
+    compressions compose: at 100 TB the inverted lists are partition
+    pruning (write the corpus partitioned by cell_id) and the codes
+    are the in-memory scan — 8 bytes/vector of the probed lists, no
+    raw-vector I/O until the final exact rerank of top_k ids.
+
+    Both trainings reuse the engine's deterministic machinery: the
+    coarse quantizer is the SemDeDup shortlist-Lloyd's build
+    (seed-by-lowest-id, decimal-exact means — the same construction
+    ``knn_ivf_deterministic`` oracle-replays), the codebooks are
+    ``pq_train_codebooks``'s md5-threshold-sampled per-subspace
+    k-means."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        TARGET_CELL,
+        _materialize_centroids,
+        _seed_centroids,
+        coarse_m,
+        kmeans_update,
+        shortlist_assign,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        IVF_ITERS,
+        IVF_MIN_CELLS,
+        SEM_NPROBE,
+    )
+
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    n = base.count()
+    k_cells = max(IVF_MIN_CELLS, n // TARGET_CELL)
+    centroids = _seed_centroids(spark, base, k_cells)
+    m = coarse_m(k_cells)
+    assigned = None
+    for t in range(1, IVF_ITERS + 1):
+        assigned = shortlist_assign(base, centroids, m, SEM_NPROBE)
+        if t < IVF_ITERS:
+            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+    cells = assigned.select("vec_id", "cell")
+
+    codebooks = pq_train_codebooks(spark, base)
+    codes = _pq_assign(_pq_subvectors(base), codebooks).join(cells, "vec_id")
+
+    queries = base.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cd2 = (
+        dot("qv", "qv") - F.lit(2) * dot("qv", "cent") + dot("cent", "cent")
+    ).alias("cd2")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd2"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", cd2)
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qsubs = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("qv", j * PQ_SUBDIM + 1, PQ_SUBDIM) for j in range(PQ_M)])
+        ).alias("j", "qsub"),
+    )
+    pd2 = (
+        dot("qsub", "qsub") - F.lit(2) * dot("qsub", "cent") + dot("cent", "cent")
+    ).alias("pd2")
+    qdist = qsubs.join(F.broadcast(codebooks), "j").select("query_id", "j", "cell", pd2)
+
+    # restrict to probed inverted lists, THEN ADC-score the survivors
+    adc = (
+        codes.alias("c")
+        .join(F.broadcast(probes).alias("p"), F.col("c.cell") == F.col("p.cell"))
+        .join(
+            F.broadcast(qdist).alias("q"),
+            (F.col("c.j") == F.col("q.j"))
+            & (F.col("c.code") == F.col("q.cell"))
+            & (F.col("p.query_id") == F.col("q.query_id")),
+        )
+        .groupBy(F.col("p.query_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
+        .agg(F.sum("pd2").alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    top = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rn")
+    )
+    nm = base.select("vec_id", "v", F.sqrt(dot("v", "v")).alias("norm"))
+    qn = nm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cosine = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
+    return (
+        F.broadcast(top)
+        .join(nm, top["neighbor_id"] == nm["vec_id"])
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"), "adc_d2", "rn")
+    )
+
+
+@register("knn_ivf_pq", doc="IVF-PQ ANN top-10 (rows-only; recall-tested in pytest)")
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the 5 demo queries — rows-only driver check;
+    planted-clone recovery through the composed index is pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(spark, emb, query_ids=range(_N_QUERIES))

@@ -150,6 +150,8 @@ _NESTED_LOOP_OK = {
     "funnel_conversion",  # 1-row × 1-row count cross joins
     "knn_ivf_probe",  # query × 16-centroid broadcast distance table
     "knn_ivf_deterministic",  # Lloyd's assign + query × broadcast centroid probes
+    "knn_ivf_pq",  # query × broadcast centroid probes (coarse stage; the
+    # ADC stages are equi-joins — knn_pq_adc needs no allowlisting)
     "dedup_embedding_cosine_pairs",  # corpus × broadcast 128-row plane table (scaled geometry)
     "knn_graph_top1",  # same corpus × broadcast plane-table bucket construction
     "knn_graph_topk",  # same construction, windowed top-3 variant

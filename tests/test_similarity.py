@@ -172,3 +172,30 @@ def test_pq_codes_are_compact_and_complete(spark):
     ).count()
     spark.catalog.clearCache()
     assert bad == 0
+
+
+def test_ivf_pq_recovers_planted_clones(spark):
+    """The composed IVF-PQ index: a clone pair's members land in the
+    same coarse cell (near-identical vectors) AND quantize to
+    near-identical codes, so the probed-lists + ADC path must surface
+    the partner in top-3 for nearly all queried members — slightly
+    looser than flat PQ (a probe can miss a boundary cell)."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    n = 2000
+    emb = build_embeddings(spark, n)
+    queries = [2 * k for k in range(n // 2) if k % 20 == 1][:20]
+    out = ivf_pq_topk(spark, emb, query_ids=queries).collect()
+    spark.catalog.clearCache()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["neighbor_id"], r["cosine"]))
+    hits = 0
+    for q in queries:
+        ranked = sorted(by_q.get(q, []))
+        if (q + 1) in [nb for rn, nb, _ in ranked[:3]]:
+            hits += 1
+    assert hits >= 16, f"planted partner in IVF-PQ top-3 for only {hits}/20 queries"
