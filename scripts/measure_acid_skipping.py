@@ -80,6 +80,51 @@ def main() -> None:
             flush=True,
         )
 
+    # -- point-delete (takedown-by-id) with blooms -----------------------
+    # INTERLEAVED batches (doc_id % n_batches == b): every file's
+    # [min, max] straddles every id, so range stats prune NOTHING —
+    # only the per-file blooms can skip. Build once with bloom_cols,
+    # time the same one-id delete with and without prune_eq.
+    def build_interleaved(root: str) -> TransactionalTable:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TransactionalTable.create(root)
+        for b in range(n_batches):
+            t.append(
+                spark,
+                docs.filter(F.col("doc_id") % n_batches == b),
+                stats_cols=("doc_id",),
+                bloom_cols=("doc_id",),
+            )
+        return t
+
+    target = n // 2 + 1  # one arbitrary id
+    for mode in ("bloom", "unpruned"):
+        t = build_interleaved(os.path.join(out_root, f"pt_{mode}"))
+        before = len(t.snapshot().files)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.time()
+        t.delete_where(
+            spark,
+            f"doc_id = {target}",
+            prune_eq={"doc_id": target} if mode == "bloom" else None,
+        )
+        dt = time.time() - t0
+        op = [o for o in t.history() if o.get("op") == "delete"][0]
+        print(
+            json.dumps(
+                {
+                    "mode": f"point_{mode}",
+                    "n_rows": n,
+                    "files_before": before,
+                    "files_skipped": op["skipped_files"],
+                    "seconds": round(dt, 2),
+                    "rows_left": t.read(spark).count(),
+                }
+            ),
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
