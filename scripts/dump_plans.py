@@ -232,6 +232,16 @@ COMMENTARY = {
         "Exchange carries one row per vector, never the candidate "
         "multiset."
     ),
+    "knn_pq_adc": (
+        "Product-quantization ADC: the trained codebooks and the "
+        "query distance tables are broadcast (m·k* = 128 rows each "
+        "side), corpus codes join them on (j, code) as a "
+        "BroadcastHashJoin, and the per-(query, vector) distance is a "
+        "partial-aggregated SUM — the only exchange carries one row "
+        "per (query, vector). The exact-cosine rerank touches only "
+        "top_k·|queries| vectors. At 100 TB the scanned 'corpus' is "
+        "8-byte codes, not 512-byte vectors."
+    ),
     "semantic_dedup_sampled": (
         "Sample-trained SemDeDup (the 10M-ready registered "
         "configuration): the md5-threshold sample is a scan-time Filter "
