@@ -760,7 +760,11 @@ def pq_topk(
             (codes["j"] == qdist["j"]) & (codes["code"] == qdist["cell"]),
         )
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("pd2").alias("adc_d2"))
+        # Decimal-exact ADC sum (registry determinism contract): the m=8
+        # partial distances combine in partition order in Spark and
+        # morsel order in DuckDB — decimal addition is associative, so
+        # the oracle's SUM is bit-identical; one cast back to double.
+        .agg(F.sum(F.col("pd2").cast("decimal(38,12)")).cast("double").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
@@ -785,13 +789,137 @@ def pq_topk(
     )
 
 
-@register("knn_pq_adc", doc="PQ-ADC ANN top-10 (rows-only; recall-tested in pytest)")
+def _pq_d2(v: str, c: str) -> str:
+    """Same three-dot-product d2 shape as semantic._d2_sql (duplicated
+    two lines rather than imported — semantic.py imports this module at
+    top level, so the string helper can't come back the other way
+    without a cycle)."""
+    return (
+        f"list_dot_product({v},{v}) - 2*list_dot_product({v},{c})"
+        f" + list_dot_product({c},{c})"
+    )
+
+
+def _pq_ctes(include_v: bool = True) -> list[str]:
+    """DuckDB CTE replay of the deterministic PQ pipeline — the
+    8-subspace twin of semantic's ``_shortlist_lloyds_ctes`` (ROADMAP
+    r6 #3): md5-threshold training sample, lowest-vec_id seeds split
+    into subvectors, ``PQ_ITERS`` decimal-exact per-subspace Lloyd's
+    updates, then full-corpus encoding and the per-query distance
+    table. Emits ``pcodes`` (vec_id, j, code) and ``pqdist``
+    (query_id, j, cell, pd2) for the caller's ADC stage. All
+    MATERIALIZED for the same reason as the semantic chain: plain CTEs
+    re-inline the whole Lloyd's prefix at every reference.
+
+    ``include_v=False`` composes with ``_shortlist_lloyds_ctes``,
+    which already emits the shared ``v`` base CTE; every other name is
+    ``p``-prefixed to stay collision-free."""
+    sd, m, ks = PQ_SUBDIM, PQ_M, PQ_KSTAR
+    target_cap = PQ_KSTAR * PQ_SAMPLE_PER_CENTROID
+
+    def subs(src: str, idc: str, vc: str, out: str) -> str:
+        return (
+            f"SELECT {idc}, CAST(j AS INT) AS j,"
+            f" list_slice({vc}, j*{sd}+1, j*{sd}+{sd}) AS {out}"
+            f" FROM {src}, range(0, {m}) r(j)"
+        )
+
+    def assign(sub_src: str, cb: str) -> str:
+        return f"""SELECT vec_id, j, cell AS code FROM (
+            SELECT s.vec_id, s.j, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                       ORDER BY {_pq_d2('s.sub', 'c.cent')}, c.cell) AS rn
+            FROM {sub_src} s JOIN {cb} c ON c.j = s.j) WHERE rn = 1"""
+
+    ctes = (
+        ["v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+        if include_v
+        else []
+    )
+    ctes += [
+        "pnn AS (SELECT COUNT(*) AS n FROM v)",
+        f"""pth AS (SELECT LEAST(65536,
+            (LEAST((SELECT n FROM pnn), {target_cap}) * 65536)
+            // GREATEST(1, (SELECT n FROM pnn))) AS thr)""",
+        """ps AS MATERIALIZED (
+        SELECT vec_id, v FROM v
+        WHERE (SELECT thr FROM pth) >= 65536
+           OR substr(md5('pqsample:' || CAST(vec_id AS VARCHAR)), 1, 4)
+              < printf('%04x', (SELECT thr FROM pth)))""",
+        f"psub AS MATERIALIZED ({subs('ps', 'vec_id', 'v', 'sub')})",
+        f"""pcb0 AS MATERIALIZED (
+        SELECT CAST(j AS INT) AS j,
+               CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS cell,
+               list_slice(v, j*{sd}+1, j*{sd}+{sd}) AS cent
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {ks}), range(0, {m}) r(j))""",
+    ]
+    for t in range(1, PQ_ITERS + 1):
+        ctes.append(f"pas{t} AS MATERIALIZED ({assign('psub', f'pcb{t - 1}')})")
+        ctes.append(
+            f"""pcb{t} AS MATERIALIZED (
+            SELECT j, cell, list(m ORDER BY pos) AS cent FROM (
+                SELECT j, cell, pos,
+                       CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+                FROM (SELECT a.j, a.code AS cell,
+                             generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS val
+                      FROM pas{t} a JOIN psub s ON s.vec_id = a.vec_id AND s.j = a.j)
+                GROUP BY j, cell, pos) GROUP BY j, cell)"""
+        )
+    final_cb = f"pcb{PQ_ITERS}"
+    ctes += [
+        f"pallsub AS MATERIALIZED ({subs('v', 'vec_id', 'v', 'sub')})",
+        f"pcodes AS MATERIALIZED ({assign('pallsub', final_cb)})",
+        f"pq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {_N_QUERIES})",
+        f"pqsub AS ({subs('pq', 'query_id', 'qv', 'sub')})",
+        f"""pqdist AS MATERIALIZED (
+        SELECT s.query_id, c.j, c.cell, {_pq_d2('s.sub', 'c.cent')} AS pd2
+        FROM pqsub s JOIN {final_cb} c ON c.j = s.j)""",
+    ]
+    return ctes
+
+
+_PQ_RERANK = f"""
+    ptop AS (SELECT query_id, vec_id AS neighbor_id, adc_d2, rn FROM (
+        SELECT query_id, vec_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_d2, vec_id) AS rn FROM padc) WHERE rn <= {_TOP_K}),
+    pnm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM v)
+    SELECT t.query_id, t.neighbor_id,
+           list_dot_product(q.v, n.v) / (q.norm * n.norm) AS cosine,
+           t.adc_d2, t.rn
+    FROM ptop t JOIN pnm n ON n.vec_id = t.neighbor_id
+                JOIN pnm q ON q.vec_id = t.query_id
+"""
+
+
+def _oracle_pq() -> str:
+    """Full PQ-ADC replay: codebook chain, full-corpus codes, per-query
+    distance tables, decimal-exact ADC sums (the same DECIMAL(38,12)
+    partial-sum contract the Spark builder applies), rank, and exact
+    cosine rerank on the top-k ids."""
+    ctes = _pq_ctes(include_v=True)
+    return f"""
+    WITH {','.join(ctes)},
+    padc AS MATERIALIZED (
+        SELECT d.query_id, k.vec_id,
+               CAST(SUM(CAST(d.pd2 AS DECIMAL(38,12))) AS DOUBLE) AS adc_d2
+        FROM pcodes k JOIN pqdist d ON d.j = k.j AND d.cell = k.code
+        WHERE d.query_id <> k.vec_id
+        GROUP BY d.query_id, k.vec_id),
+    {_PQ_RERANK}
+    """
+
+
+@register("knn_pq_adc", oracle=_oracle_pq())
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 for the 5 demo queries via product quantization —
-    rows-only driver check (codebook training is exact-deterministic,
-    but the 8-subspace × 2-iteration CTE replay would be the largest
-    oracle in the repo; recall vs brute force and planted-clone
-    recovery are pinned in tests/test_similarity.py instead)."""
+    """ANN top-10 for the 5 demo queries via product quantization, with
+    an exact DuckDB oracle (r6 ROADMAP #3): codebook training is
+    RNG-free (lowest-vec_id seeds, md5-threshold sample, decimal-exact
+    means), encoding/ADC use the same fold arithmetic both engines
+    evaluate bit-identically, and the ADC sum goes through
+    DECIMAL(38,12) so partial-aggregation order cannot flip a rank.
+    Recall vs brute force and planted-clone recovery are additionally
+    pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(spark, emb, query_ids=range(_N_QUERIES))
 
@@ -886,7 +1014,8 @@ def ivf_pq_topk(
             & (F.col("p.query_id") == F.col("q.query_id")),
         )
         .groupBy(F.col("p.query_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
-        .agg(F.sum("pd2").alias("adc_d2"))
+        # Decimal-exact ADC sum — same cross-engine contract as pq_topk.
+        .agg(F.sum(F.col("pd2").cast("decimal(38,12)")).cast("double").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
@@ -910,10 +1039,53 @@ def ivf_pq_topk(
     )
 
 
-@register("knn_ivf_pq", doc="IVF-PQ ANN top-10 (rows-only; recall-tested in pytest)")
+def _oracle_ivf_pq() -> str:
+    """Composed replay: the shared shortlist-Lloyd's chain builds the
+    coarse quantizer (identical to the knn_ivf_deterministic oracle —
+    one generator, ``semantic._shortlist_lloyds_ctes``), the PQ chain
+    builds codes and query distance tables over the same ``v``, then
+    the ADC sum runs only inside each query's ``IVFPQ_NPROBE`` probed
+    cells. Imported lazily: semantic.py imports this module at top
+    level, and by the time this registration line executes the names
+    semantic needs (``as_double_vec``/``dot``) are already bound, so
+    the one-way late import is cycle-safe in either import order."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        IVF_ITERS,
+        IVF_MIN_CELLS,
+        SEM_NPROBE,
+        _shortlist_lloyds_ctes,
+    )
+
+    ctes = _shortlist_lloyds_ctes(IVF_MIN_CELLS, None, IVF_ITERS, SEM_NPROBE)
+    ctes += _pq_ctes(include_v=False)
+    return f"""
+    WITH {','.join(ctes)},
+    iprobes AS MATERIALIZED (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_pq_d2('q.qv', 'c.cent')}, c.cell) AS crn
+            FROM pq q, c{IVF_ITERS - 1} c) WHERE crn <= {IVFPQ_NPROBE}),
+    padc AS MATERIALIZED (
+        SELECT p.query_id, k.vec_id,
+               CAST(SUM(CAST(d.pd2 AS DECIMAL(38,12))) AS DOUBLE) AS adc_d2
+        FROM pcodes k
+        JOIN a{IVF_ITERS} cells ON cells.vec_id = k.vec_id
+        JOIN iprobes p ON p.cell = cells.cell
+        JOIN pqdist d ON d.j = k.j AND d.cell = k.code
+                     AND d.query_id = p.query_id
+        WHERE p.query_id <> k.vec_id
+        GROUP BY p.query_id, k.vec_id),
+    {_PQ_RERANK}
+    """
+
+
+@register("knn_ivf_pq", oracle=_oracle_ivf_pq())
 def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-10 for the 5 demo queries — rows-only driver check;
-    planted-clone recovery through the composed index is pinned in
+    """IVF-PQ top-10 for the 5 demo queries, with an exact DuckDB
+    oracle composing the two deterministic chains (coarse shortlist
+    Lloyd's + per-subspace PQ codebooks); planted-clone recovery
+    through the composed index is additionally pinned in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(spark, emb, query_ids=range(_N_QUERIES))

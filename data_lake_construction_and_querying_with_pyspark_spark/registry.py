@@ -95,6 +95,8 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "acid_orders_lifecycle",
     "semantic_dedup_sampled",
     "acid_delete_data_skipping",
+    "knn_pq_adc",
+    "knn_ivf_pq",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -119,12 +121,14 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "topk_global_orders",
     "window_running_total",
     "window_topk_per_customer",
-    # -- r3-aged re-verification picks (21 of 44; rest rotate r6 —
+    # -- r3-aged re-verification picks (19 of 44; rest rotate r6 —
     # recursive_transition_paths rotated out for acid_orders_lifecycle,
-    # asof_latest_order_per_event for semantic_dedup_sampled, and
-    # doc_repetition_signals for acid_delete_data_skipping; all three
-    # keep their r3 rows, exactly at the ≤2-rounds-old contract edge
-    # for r5) --
+    # asof_latest_order_per_event for semantic_dedup_sampled,
+    # doc_repetition_signals for acid_delete_data_skipping, and
+    # deterministic_shuffle / train_val_test_split (the two simplest
+    # hashed-id scan projections, twice-stable) for the late-r5
+    # knn_pq_adc / knn_ivf_pq oracles; all five keep their r3 rows,
+    # exactly at the ≤2-rounds-old contract edge for r5) --
     "dedup_canonical_corpus",
     "dedup_exact_documents",
     "dedup_minhash_near_dup",
@@ -134,8 +138,6 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "boilerplate_token_scrub",
     "source_mix_draw",
     "weighted_systematic_draw",
-    "deterministic_shuffle",
-    "train_val_test_split",
     "pii_anonymize_customers",
     "expectations_orders",
     "snapshot_diff_orders",
