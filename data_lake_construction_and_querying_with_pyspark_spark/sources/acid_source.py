@@ -31,6 +31,27 @@ Executor-side ``read`` goes straight to pyarrow: files whose columns
 match the committed schema stream as Arrow record batches (zero-copy
 into Spark); files predating a schema evolution fall back to row
 tuples with NULLs for the missing columns.
+
+The format is also WRITABLE — batch and streaming::
+
+    df.write.format("acid_table").option("path", root).mode("append").save()
+    df.write.format("acid_table").option("path", root).mode("overwrite").save()
+    df.writeStream.format("acid_table").option("path", root) \
+        .option("checkpointLocation", cp).start()   # EXACTLY-ONCE
+
+Writers are Arrow-batched (``DataSourceArrowWriter`` /
+``DataSourceStreamArrowWriter`` — no per-row Python): each non-empty
+task lands one immutable parquet file under ``data/``, invisible until
+the driver's ``commit`` references every task's files in ONE atomic
+log entry. Batch append/overwrite carry the same schema enforcement,
+version-race retry, and conflict rules as the ``TransactionalTable``
+API; the streaming writer records the micro-batch id inside the commit
+entry (op ``stream_append``) so checkpoint replays are detected and
+skipped — the same exactly-once contract as
+``streaming.sinks.streaming_acid_append``, now with no ``foreachBatch``
+wrapper. Options: ``stats_cols`` / ``bloom_cols`` (comma-separated)
+record per-file data-skipping metadata; ``merge_schema`` permits
+column-addition evolution.
 """
 
 from __future__ import annotations
@@ -41,14 +62,18 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from data_lake_construction_and_querying_with_pyspark_spark.acid import (
     _PAD,
+    DATA_DIR,
     LOG_DIR,
     TransactionalTable,
 )
@@ -200,6 +225,208 @@ class _AcidStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _AcidWriteMessage(WriterCommitMessage):
+    adds: tuple  # add-action dicts for the files this task staged
+
+
+class _AcidWriterCore:
+    """Shared executor-side write + driver-side helpers for the batch
+    and streaming writers.
+
+    Executor ``write`` receives ARROW RecordBatches (the
+    ``DataSourceArrowWriter`` fast path — no Row objects, no
+    per-row Python) and lands them as ONE immutable uuid-named parquet
+    file per non-empty task directly under ``data/``. The file is
+    invisible until a log entry references it — exactly the
+    ``_stage_files`` contract, minus the extra staging-directory hop
+    (the executor write IS the staging). A task that dies mid-file
+    leaves an unreferenced orphan that ``vacuum()`` collects; the
+    committed table never sees it.
+
+    ``stats_cols`` / ``bloom_cols`` options (comma-separated column
+    names) record the same per-file min/max and bloom-filter metadata
+    in the add-action as the ``TransactionalTable`` API — computed here
+    from the in-memory Arrow table (footer-equivalent values via the
+    shared ``_json_stat`` normalization), so data skipping works
+    identically on writer-landed files."""
+
+    def __init__(self, root: str, schema: StructType, options: dict):
+        self.root = root
+        self.schema_json = schema.jsonValue()
+        split = lambda k: tuple(c for c in str(options.get(k, "")).split(",") if c)  # noqa: E731
+        self.stats_cols = split("stats_cols")
+        self.bloom_cols = split("bloom_cols")
+        self.merge_schema = str(options.get("merge_schema", "false")).lower() == "true"
+
+    # -- executor side ---------------------------------------------------
+    def write(self, iterator) -> _AcidWriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_lake_construction_and_querying_with_pyspark_spark.acid import (
+            _bloom_bits_for,
+            _bloom_build,
+            _footer_min_max,
+        )
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            # 0-row parts never enter the log (they carry no stats and
+            # would conservatively match every prune interval forever)
+            return _AcidWriteMessage(adds=())
+        table = pa.Table.from_batches(batches)
+        name = f"{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(self.root, DATA_DIR, name)
+        pq.write_table(table, dest)
+        md = pq.ParquetFile(dest).metadata
+        add = {
+            "file": f"{DATA_DIR}/{name}",
+            "bytes": os.path.getsize(dest),
+            "rows": md.num_rows,
+        }
+        if self.stats_cols:
+            stats = _footer_min_max(md, self.stats_cols)
+            if stats:
+                add["stats"] = stats
+        present = [c for c in self.bloom_cols if c in table.column_names]
+        if present:
+            n_bits = _bloom_bits_for(md.num_rows)
+            add["blooms"] = {
+                c: _bloom_build(table.column(c).to_pylist(), n_bits) for c in present
+            }
+        return _AcidWriteMessage(adds=(add,))
+
+    # -- driver side ------------------------------------------------------
+    def _gather(self, messages) -> list[dict]:
+        return [a for m in messages if m is not None for a in m.adds]
+
+    def _abandon(self, adds: list[dict]) -> None:
+        for a in adds:
+            try:
+                os.unlink(os.path.join(self.root, a["file"]))
+            except OSError:
+                pass
+
+    def abort(self, messages, *_):
+        self._abandon(self._gather(messages))
+
+
+class _AcidBatchWriter(_AcidWriterCore, DataSourceArrowWriter):
+    """``df.write.format("acid_table")`` — append and overwrite modes,
+    committing through the same atomic log primitive as the
+    ``TransactionalTable`` API (append retries through version races;
+    overwrite raises on a concurrent rewrite, mirroring
+    ``TransactionalTable.overwrite``'s conflict rule)."""
+
+    def __init__(self, root: str, schema: StructType, options: dict, overwrite: bool):
+        super().__init__(root, schema, options)
+        self.overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        import time
+
+        from data_lake_construction_and_querying_with_pyspark_spark.acid import (
+            CommitConflict,
+            _evolve_schema,
+        )
+
+        adds = self._gather(messages)
+        table = TransactionalTable(self.root)
+        if self.overwrite:
+            while True:
+                snap = table.snapshot()
+                entry = {
+                    "add": adds,
+                    "remove": [{"file": f} for f in snap.files],
+                    "op": {"op": "overwrite", "ts": time.time()},
+                    "schema": self.schema_json,
+                }
+                if table._try_create(snap.version + 1, entry):
+                    return
+                newer = table.snapshot()
+                if set(snap.files) - set(newer.files):
+                    self._abandon(adds)
+                    raise CommitConflict(
+                        "concurrent rewrite removed files this overwrite was "
+                        "replacing; recompute from the new snapshot"
+                    )
+        snap0 = table.snapshot()
+        try:
+            schema_change = _evolve_schema(snap0.schema, self.schema_json, self.merge_schema)
+        except Exception:
+            self._abandon(adds)
+            raise
+        entry = {"add": adds, "op": {"op": "append", "ts": time.time()}}
+        if schema_change is not None:
+            entry["schema"] = schema_change
+        v = snap0.version + 1
+        for _ in range(50):
+            if table._try_create(v, entry):
+                return
+            v += 1
+        self._abandon(adds)
+        raise CommitConflict("append lost 50 consecutive version races")
+
+
+class _AcidStreamWriter(_AcidWriterCore, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("acid_table")`` — EXACTLY-ONCE streaming
+    appends as a first-class sink, no ``foreachBatch`` wrapper needed.
+
+    Same design as :func:`..streaming.sinks.streaming_acid_append`: the
+    micro-batch id rides INSIDE the atomic commit entry (op
+    ``stream_append``), so a replayed batch — restart from checkpoint,
+    or a commit retried after a crash between executor writes and the
+    log create — is detected by id and SKIPPED, abandoning its
+    duplicate files. Readers see each micro-batch as one atomic commit
+    and the two sink forms interoperate (identical op metadata, one
+    dedup namespace)."""
+
+    def commit(self, messages, batchId: int) -> None:
+        import time
+
+        from data_lake_construction_and_querying_with_pyspark_spark.acid import (
+            _evolve_schema,
+        )
+
+        adds = self._gather(messages)
+        table = TransactionalTable(self.root)
+
+        def committed() -> bool:
+            return any(
+                o.get("op") == "stream_append" and o.get("batch_id") == batchId
+                for o in table.history()
+            )
+
+        if committed():
+            self._abandon(adds)
+            return
+        snap0 = table.snapshot()
+        try:
+            schema_change = _evolve_schema(snap0.schema, self.schema_json, self.merge_schema)
+        except Exception:
+            self._abandon(adds)
+            raise
+        entry = {
+            "add": adds,
+            "op": {"op": "stream_append", "batch_id": batchId, "ts": time.time()},
+        }
+        if schema_change is not None:
+            entry["schema"] = schema_change
+        v = snap0.version + 1
+        for _ in range(50):
+            if table._try_create(v, entry):
+                return
+            if committed():
+                self._abandon(adds)
+                return
+            v += 1
+        self._abandon(adds)
+        raise RuntimeError("streaming append lost 50 consecutive version races")
+
+
 class AcidTableDataSource(DataSource):
     """``format("acid_table")`` — see module docstring."""
 
@@ -215,6 +442,16 @@ class AcidTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _AcidStreamReader(self.options["path"], schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceArrowWriter:
+        root = self.options["path"]
+        TransactionalTable.create(root)  # idempotent: dirs + empty log
+        return _AcidBatchWriter(root, schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamArrowWriter:
+        root = self.options["path"]
+        TransactionalTable.create(root)
+        return _AcidStreamWriter(root, schema, dict(self.options))
 
 
 def register_acid_source(spark) -> None:
