@@ -7,7 +7,10 @@ table is readable as a first-class format::
     spark.readStream.format("acid_table").option("path", root).load()
 
 Batch read scans the current snapshot (one input partition per live
-data file — Spark parallelizes across them like any file source).
+data file — Spark parallelizes across them like any file source), or a
+HISTORICAL one: ``.option("version_as_of", N)`` /
+``.option("timestamp_as_of", ts)`` pin both the file set and the
+committed schema to that commit (see ``_resolve_as_of``).
 
 The STREAMING read turns the commit log into an exactly-once
 micro-batch source: offsets ARE commit versions, each trigger covers
@@ -99,8 +102,8 @@ def _read_file(partition: _FilePartition):
         yield tuple(row.get(n) for n in names)
 
 
-def _table_schema(root: str) -> StructType:
-    snap = TransactionalTable(root).snapshot()
+def _table_schema(root: str, version: int | None = None) -> StructType:
+    snap = TransactionalTable(root).snapshot(version=version)
     if snap.schema is None:
         raise ValueError(
             f"acid_table at {root!r} has no committed schema "
@@ -110,10 +113,50 @@ def _table_schema(root: str) -> StructType:
     return StructType.fromJson(snap.schema)
 
 
+def _resolve_as_of(root: str, options: dict) -> int | None:
+    """TIME TRAVEL option resolution for the batch reader: pin the scan
+    to a historical snapshot. ``version_as_of`` is a commit version
+    (the log's own coordinate); ``timestamp_as_of`` resolves to the
+    LAST commit whose op timestamp is ≤ the bound — epoch seconds or an
+    ISO-8601 string (naive strings are read as UTC: commit ``ts`` is
+    ``time.time()``, wall-clock-zone-free). Both the file set AND the
+    committed schema come from that snapshot, so a read as of v sees
+    exactly what a reader at v saw — later column additions included
+    not at all (the Delta semantics)."""
+    v_opt, ts_opt = options.get("version_as_of"), options.get("timestamp_as_of")
+    if v_opt is not None and ts_opt is not None:
+        raise ValueError("pass version_as_of OR timestamp_as_of, not both")
+    if v_opt is not None:
+        return int(v_opt)
+    if ts_opt is None:
+        return None
+    try:
+        bound = float(ts_opt)
+    except ValueError:
+        import datetime
+
+        dt = datetime.datetime.fromisoformat(str(ts_opt))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        bound = dt.timestamp()
+    eligible = [
+        o["version"]
+        for o in TransactionalTable(root).history()
+        if o.get("ts") is not None and o["ts"] <= bound
+    ]
+    if not eligible:
+        raise ValueError(
+            f"timestamp_as_of={ts_opt!r} predates every commit of the "
+            f"acid_table at {root!r}"
+        )
+    return max(eligible)
+
+
 class _AcidBatchReader(DataSourceReader):
-    def __init__(self, root: str, schema: StructType):
+    def __init__(self, root: str, schema: StructType, as_of: int | None = None):
         self.root = root
         self.columns = tuple(schema.fieldNames())
+        self.as_of = as_of
         self._prune: dict = {}
         self._prune_eq: dict = {}
 
@@ -165,7 +208,7 @@ class _AcidBatchReader(DataSourceReader):
             _file_may_match,
         )
 
-        snap = TransactionalTable(self.root).snapshot()
+        snap = TransactionalTable(self.root).snapshot(version=self.as_of)
         return [
             _FilePartition(os.path.join(self.root, f), self.columns)
             for f in snap.files
@@ -435,10 +478,12 @@ class AcidTableDataSource(DataSource):
         return "acid_table"
 
     def schema(self) -> StructType:
-        return _table_schema(self.options["path"])
+        root = self.options["path"]
+        return _table_schema(root, version=_resolve_as_of(root, dict(self.options)))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _AcidBatchReader(self.options["path"], schema)
+        root = self.options["path"]
+        return _AcidBatchReader(root, schema, as_of=_resolve_as_of(root, dict(self.options)))
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _AcidStreamReader(self.options["path"], schema, dict(self.options))

@@ -177,3 +177,57 @@ def test_batch_pushdown_prunes_files(spark, table):
     # ALL files straddle high keys — range pushdown keeps all 4 here,
     # which is exactly why the bloom path exists
     assert len(r.partitions()) == 4
+
+
+def test_batch_time_travel_version_and_timestamp(spark, table):
+    table.append(spark, _batch(spark, 0, 3))  # v1
+    table.append(spark, _batch(spark, 3, 6, "b"))  # v2
+    ts_after_v2 = time.time()
+    time.sleep(0.05)
+    table.append(  # v3: evolves the schema
+        spark,
+        _batch(spark, 6, 9, "c").withColumn("score", F.lit(1.0)),
+        merge_schema=True,
+    )
+
+    def rd(**opts):
+        r = spark.read.format("acid_table").option("path", table.root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    v1 = rd(version_as_of="1")
+    # historical read sees the schema AS OF that version — no `score`
+    assert v1.columns == ["k", "flag"]
+    assert {r["k"] for r in v1.collect()} == {0, 1, 2}
+
+    by_ts = rd(timestamp_as_of=str(ts_after_v2))
+    assert "score" not in by_ts.columns
+    assert {r["k"] for r in by_ts.collect()} == set(range(6))
+
+    latest = rd()
+    assert "score" in latest.columns and latest.count() == 9
+
+    # pushed filters compose with the historical snapshot
+    assert [r["k"] for r in rd(version_as_of="2").filter("k >= 4").collect()] == [4, 5]
+
+
+def test_batch_time_travel_option_errors(spark, table):
+    table.append(spark, _batch(spark, 0, 2))
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("acid_table")
+            .option("path", table.root)
+            .option("version_as_of", "1")
+            .option("timestamp_as_of", "0")
+            .load()
+            .collect()
+        )
+    with pytest.raises(Exception, match="predates every commit"):
+        (
+            spark.read.format("acid_table")
+            .option("path", table.root)
+            .option("timestamp_as_of", "100.0")
+            .load()
+            .collect()
+        )
