@@ -27,8 +27,14 @@ meets one (fail-loud, like Delta without ``ignoreChanges``). With
 ``.option("ignore_changes", "true")`` rewrite commits are skipped
 entirely — appends-only tailing — which is exact for tables whose
 rewrites only remove or reorganize rows already emitted (dedup
-compaction, retention deletes). Row-accurate CDC for rewrites is
-``TransactionalTable.changes()``.
+compaction, retention deletes). With ``.option("read_changes",
+"true")`` the stream becomes a row-level CHANGE FEED (Delta CDF
+streaming): every row carries ``_change_type`` (insert | delete) and
+``_commit_version``; append commits stay metadata-only (their files
+emit as tagged inserts — no diff runs), and each rewrite commit
+bag-diffs exactly the files it touched on an executor, so compaction
+emits nothing and an UPDATE emits delete(old)+insert(new) — the
+streaming twin of ``TransactionalTable.changes()``, same cost model.
 
 Executor-side ``read`` goes straight to pyarrow: files whose columns
 match the committed schema stream as Arrow record batches (zero-copy
@@ -88,6 +94,31 @@ class _FilePartition(InputPartition):
     columns: tuple  # committed schema field names, in order
 
 
+@dataclass
+class _CdcFilePartition(InputPartition):
+    """One added file of an append commit, emitted as tagged inserts —
+    the metadata-only CDC fast path (no diff runs)."""
+
+    path: str
+    columns: tuple
+    version: int
+
+
+@dataclass
+class _CdcDiffPartition(InputPartition):
+    """One REWRITE commit (merge/delete/update/overwrite/compact): the
+    executor bag-diffs exactly the files the commit touched — added
+    rows minus removed rows are inserts, removed minus added are
+    deletes, unchanged rows (compaction) cancel out. One partition per
+    rewrite commit: the diff needs both sides of that commit in one
+    place, and a rewrite touches O(changed data), not the table."""
+
+    added: tuple  # absolute parquet paths
+    removed: tuple
+    columns: tuple
+    version: int
+
+
 def _read_file(partition: _FilePartition):
     import pyarrow.parquet as pq
 
@@ -100,6 +131,61 @@ def _read_file(partition: _FilePartition):
     # pre-evolution file: tuple fallback with NULLs for missing columns
     for row in table.to_pylist():
         yield tuple(row.get(n) for n in names)
+
+
+def _read_file_tagged(path: str, columns: tuple, change: str, version: int):
+    """Arrow-batch a file with the two CDC metadata columns appended as
+    constants (zero per-row Python on the fast path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    names = list(columns)
+    if set(table.column_names) >= set(names):
+        t = table.select(names)
+        n = t.num_rows
+        t = t.append_column("_change_type", pa.array([change] * n, pa.string()))
+        t = t.append_column("_commit_version", pa.array([version] * n, pa.int64()))
+        yield from t.to_batches()
+        return
+    for row in table.to_pylist():
+        yield tuple(row.get(c) for c in names) + (change, version)
+
+
+def _row_tuples(path: str, columns: tuple) -> list[tuple]:
+    """Rows of one file as hashable tuples (lists → tuples, recursively)
+    under the committed column order — the bag-diff's currency."""
+    import pyarrow.parquet as pq
+
+    def hashable(v):
+        return tuple(hashable(x) for x in v) if isinstance(v, list) else v
+
+    table = pq.read_table(path)
+    names = list(columns)
+    return [
+        tuple(hashable(row.get(c)) for c in names) for row in table.to_pylist()
+    ]
+
+
+def _read_diff(partition: _CdcDiffPartition):
+    """Executor-side bag difference of one rewrite commit — the
+    in-process twin of ``TransactionalTable.changes()``'s exceptAll
+    pair, over exactly the files that commit touched."""
+    from collections import Counter
+
+    added: Counter = Counter()
+    for p in partition.added:
+        added.update(_row_tuples(p, partition.columns))
+    removed: Counter = Counter()
+    for p in partition.removed:
+        removed.update(_row_tuples(p, partition.columns))
+    v = partition.version
+    for row, n in (added - removed).items():
+        for _ in range(n):
+            yield row + ("insert", v)
+    for row, n in (removed - added).items():
+        for _ in range(n):
+            yield row + ("delete", v)
 
 
 def _table_schema(root: str, version: int | None = None) -> StructType:
@@ -222,9 +308,17 @@ class _AcidBatchReader(DataSourceReader):
 class _AcidStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema: StructType, options: dict):
         self.root = root
-        self.columns = tuple(schema.fieldNames())
-        self.start_version = int(options.get("starting_version", 0))
+        self.read_changes = str(options.get("read_changes", "false")).lower() == "true"
         self.ignore_changes = str(options.get("ignore_changes", "false")).lower() == "true"
+        if self.read_changes and self.ignore_changes:
+            raise ValueError("pass read_changes OR ignore_changes, not both")
+        cols = tuple(schema.fieldNames())
+        if self.read_changes:
+            # the declared stream schema carries the CDC metadata
+            # columns; the DATA columns are everything before them
+            cols = tuple(c for c in cols if c not in ("_change_type", "_commit_version"))
+        self.columns = cols
+        self.start_version = int(options.get("starting_version", 0))
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -241,27 +335,58 @@ class _AcidStreamReader(DataSourceStreamReader):
                 continue
             with open(entry_path) as fh:
                 entry = json.load(fh)
-            if entry.get("remove"):
-                if self.ignore_changes:
-                    continue
-                op = entry.get("op", {}).get("op", "?")
-                raise ValueError(
-                    f"acid_table stream hit a rewrite commit (version {v}, "
-                    f"op={op!r}); pass .option('ignore_changes', 'true') to "
-                    "skip rewrites, or consume TransactionalTable.changes() "
-                    "for row-accurate CDC"
-                )
-            parts.extend(
-                _FilePartition(os.path.join(self.root, a["file"]), self.columns)
+            added = [
+                os.path.join(self.root, a["file"])
                 for a in entry.get("add", [])
                 if a.get("rows")
+            ]
+            if not entry.get("remove"):
+                if self.read_changes:
+                    parts.extend(
+                        _CdcFilePartition(p, self.columns, v) for p in added
+                    )
+                else:
+                    parts.extend(_FilePartition(p, self.columns) for p in added)
+                continue
+            if self.read_changes:
+                # one partition per rewrite commit: the bag diff needs
+                # both sides of THAT commit together, and a rewrite
+                # touches O(changed data), never the whole table
+                parts.append(
+                    _CdcDiffPartition(
+                        added=tuple(added),
+                        removed=tuple(
+                            os.path.join(self.root, r["file"])
+                            for r in entry.get("remove", [])
+                        ),
+                        columns=self.columns,
+                        version=v,
+                    )
+                )
+                continue
+            if self.ignore_changes:
+                continue
+            op = entry.get("op", {}).get("op", "?")
+            raise ValueError(
+                f"acid_table stream hit a rewrite commit (version {v}, "
+                f"op={op!r}); pass .option('read_changes', 'true') for "
+                "row-accurate CDC, .option('ignore_changes', 'true') to "
+                "skip rewrites, or consume TransactionalTable.changes() "
+                "in batch"
             )
         # a trigger with no new files still needs ≥0 partitions; Spark
         # handles an empty list as an empty micro-batch
         return parts
 
     def read(self, partition):
-        yield from _read_file(partition)
+        if isinstance(partition, _CdcDiffPartition):
+            yield from _read_diff(partition)
+        elif isinstance(partition, _CdcFilePartition):
+            yield from _read_file_tagged(
+                partition.path, partition.columns, "insert", partition.version
+            )
+        else:
+            yield from _read_file(partition)
 
     def commit(self, end: dict) -> None:
         # the streaming checkpoint owns progress; nothing to persist here
@@ -479,10 +604,30 @@ class AcidTableDataSource(DataSource):
 
     def schema(self) -> StructType:
         root = self.options["path"]
-        return _table_schema(root, version=_resolve_as_of(root, dict(self.options)))
+        base = _table_schema(root, version=_resolve_as_of(root, dict(self.options)))
+        if str(self.options.get("read_changes", "false")).lower() == "true":
+            # validate at load() time (schema resolution), not first
+            # trigger: a misconfigured stream should fail at the plan
+            if str(self.options.get("ignore_changes", "false")).lower() == "true":
+                raise ValueError("pass read_changes OR ignore_changes, not both")
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
         root = self.options["path"]
+        if str(self.options.get("read_changes", "false")).lower() == "true":
+            raise ValueError(
+                "read_changes is a STREAMING option (spark.readStream); "
+                "for a batch change feed use TransactionalTable.changes()"
+            )
         return _AcidBatchReader(root, schema, as_of=_resolve_as_of(root, dict(self.options)))
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -231,3 +231,87 @@ def test_batch_time_travel_option_errors(spark, table):
             .load()
             .collect()
         )
+
+
+def _drain_cdc(spark, table, cp, expected_rows):
+    rows: list = []
+    q = (
+        spark.readStream.format("acid_table")
+        .option("path", table.root)
+        .option("read_changes", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda bdf, _b: rows.extend(
+                (r["k"], r["flag"], r["_change_type"], r["_commit_version"])
+                for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and len(rows) < expected_rows:
+            time.sleep(0.3)
+        time.sleep(1.0)  # settle: prove nothing further arrives
+        assert q.exception() is None
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return rows
+
+
+def test_stream_read_changes_matches_batch_change_feed(spark, table, tmp_path):
+    """read_changes turns the stream into a row-level CDC feed equal to
+    the batch TransactionalTable.changes() over the same commit range:
+    appends are tagged inserts, a DELETE emits deletes for exactly the
+    removed rows (rewritten survivors cancel in the bag diff), and a
+    compaction commit contributes nothing."""
+    table.append(spark, _batch(spark, 0, 5), stats_cols=("k",))  # v1
+    table.delete_where(spark, "k < 2", prune={"k": (None, 1)})  # v2 rewrite
+    table.append(spark, _batch(spark, 10, 12, "z"))  # v3
+    table.compact(spark)  # v4 rewrite, zero row change
+
+    got = sorted(_drain_cdc(spark, table, str(tmp_path / "cp"), 9))
+    want = sorted(
+        (r["k"], r["flag"], r["_change_type"], r["_commit_version"])
+        for r in table.changes(spark, 0).collect()
+    )
+    assert got == want
+    assert sum(1 for r in got if r[2] == "delete") == 2
+    assert all(r[3] != 4 for r in got)  # compaction silent
+
+
+def test_stream_read_changes_update_and_restart(spark, table, tmp_path):
+    """An UPDATE surfaces as delete(old)+insert(new); a checkpoint
+    restart emits only commits after the last batch."""
+    cp = str(tmp_path / "cp")
+    table.append(spark, _batch(spark, 0, 4), stats_cols=("k",))  # v1
+    got = _drain_cdc(spark, table, cp, 4)
+    assert {r[2] for r in got} == {"insert"}
+
+    table.update_where(  # v2: rewrite touching one file
+        spark, "k = 1", {"flag": "'upd'"}, prune={"k": (1, 1)}
+    )
+    got2 = sorted(_drain_cdc(spark, table, cp, 2))
+    assert got2 == [(1, "a", "delete", 2), (1, "upd", "insert", 2)]
+
+
+def test_read_changes_option_errors(spark, table):
+    table.append(spark, _batch(spark, 0, 2))
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.readStream.format("acid_table")
+            .option("path", table.root)
+            .option("read_changes", "true")
+            .option("ignore_changes", "true")
+            .load()
+        )
+    with pytest.raises(Exception, match="STREAMING option"):
+        (
+            spark.read.format("acid_table")
+            .option("path", table.root)
+            .option("read_changes", "true")
+            .load()
+            .collect()
+        )
