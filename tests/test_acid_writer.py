@@ -230,3 +230,28 @@ def test_stream_writer_feeds_stream_reader(spark, root, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert set(rows) == {(i, "a") for i in range(8)}
+
+
+def test_stream_writer_commit_retries_through_version_race(spark, root, tmp_path):
+    """A concurrent commit landing between the stream writer's snapshot
+    and its version create must not lose the batch: the commit loop
+    retries at the next free version (appends commute)."""
+    import pyarrow as pa
+
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.acid_source import (
+        _AcidStreamWriter,
+    )
+
+    _write(_frame(spark, 0, 3), root)
+    t = TransactionalTable(root)
+    schema = spark.read.format("acid_table").option("path", root).load().schema
+    w = _AcidStreamWriter(t.root, schema, {})
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"k": [7], "flag": ["s"]})]))
+    # occupy the version the commit will try first (a racing writer won)
+    v0 = t.snapshot().version
+    assert t._try_create(v0 + 1, {"add": [], "op": {"op": "append", "ts": 0.0}})
+    w.commit([msg], 7)
+    ops = [(o.get("op"), o.get("batch_id")) for o in t.history()]
+    assert ("stream_append", 7) in ops
+    assert t.snapshot().version == v0 + 2  # landed AFTER the racer
+    assert t.read(spark).count() == 4
