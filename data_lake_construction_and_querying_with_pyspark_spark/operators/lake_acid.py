@@ -133,3 +133,42 @@ def acid_delete_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune={"o_orderkey": (None, quarter)},
     )
     return t.read(spark).select(*cols)
+
+
+@register(
+    "acid_change_feed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'insert' AS _change_type,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS _commit_version
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey % 10 = 3
+    """,
+)
+def acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level CHANGE FEED itself as an oracle-checked query
+    (continuation session): append the even-keyed half of ``orders``
+    (commit 1), the odd half (commit 2), then DELETE the
+    ``% 10 == 3`` keys (commit 3 — a copy-on-write rewrite), and emit
+    ``changes(0)``. The feed must contain every row exactly once as a
+    tagged insert carrying the version its PARITY determines, plus one
+    tagged delete per ``% 10 == 3`` key at version 3 — and nothing
+    else: the delete's rewritten survivors must cancel in the bag
+    diff. The oracle states that closed form directly over ``orders``,
+    so a dropped, duplicated, or mis-versioned change row diverges the
+    value hash. (The streaming `read_changes` source emits this same
+    feed incrementally — equality pinned in tests/test_acid_source.py.)"""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+
+    root = _scratch("orders_cdc", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)  # fresh lifecycle per build
+    t = TransactionalTable.create(root)
+    t.append(spark, orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(spark, orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete_where(spark, "o_orderkey % 10 = 3")
+    return t.changes(spark, 0)
