@@ -97,6 +97,9 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "acid_delete_data_skipping",
     "knn_pq_adc",
     "knn_ivf_pq",
+    "acid_change_feed",
+    "bpe_learn_merges",
+    "bpe_token_counts",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -143,11 +146,14 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "snapshot_diff_orders",
     "table_profile_events",
     "join_key_skew_profile",
-    "corr_quantity_price_exact",
-    "histogram_order_totalprice",
+    # corr_quantity_price_exact / histogram_order_totalprice rotated out
+    # for the r5 bpe_learn_merges / bpe_token_counts additions (same
+    # never-driver-checked-first rule); both keep r3 rows, re-verify r6.
     "outlier_orders_zscore",
     "unigram_rarity_scores",
-    "text_token_stats",
+    # text_token_stats rotated out for acid_change_feed (the newest
+    # never-driver-checked oracle-bearing entry); it keeps its r3 row,
+    # at the ≤2-rounds-old contract edge for r5, re-verified r6.
 )
 
 
@@ -175,6 +181,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import tpch_more  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import dedup  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import text  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import tokenizer  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import similarity  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import timeseries  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import asof  # noqa: F401

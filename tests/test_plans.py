@@ -168,6 +168,8 @@ _SLOW = {
     "dedup_cluster_assignment",
     "dedup_canonical_corpus",  # embeds the same eager CC iteration
     "streaming_hourly_rollup",
+    "bpe_learn_merges",  # eager merge-iteration loop (k 1-row collects)
+    "bpe_token_counts",  # embeds the same eager loop
 }  # iterative / streaming
 
 
