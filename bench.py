@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_repeated_spans",  # added r4: the heaviest dedup family (positional 5-gram index)
     "pagerank_trade_network",  # added r4: iterative graph analytics
     "knn_graph_topk",  # added r5: kNN-graph family (VERDICT r4 directive #2)
+    "bpe_learn_merges",  # added r5: tokenizer-training family (iterative merge learning)
 ]
 
 

@@ -128,6 +128,12 @@ _PROBE_OPS = [
     "tfidf_top_terms_per_doc",
     "gopher_quality_filters",
     "dedup_repeated_spans",
+    # BPE training (r5): the ONE corpus-sized stage is the word-freq
+    # shuffle (n·120 token rows); all k=6 merge iterations then run on
+    # the ~2 001-row distinct-word table, so rung-to-rung growth should
+    # track the token count linearly and nothing else.
+    "bpe_learn_merges",
+    "bpe_token_counts",
 ]
 
 
