@@ -201,6 +201,71 @@ FROM (SELECT unnest(string_split(trim(seq, '<>'), '><')) AS sym, freq FROM w{k})
 GROUP BY sym"""
 
 
+def _encode_oracle(k: int) -> str:
+    """Doc-level encode replay: d0 wraps every non-space char of every
+    document; d{i} applies merge b{i} with the identical literal
+    replace (spaces break the ``><`` adjacency, so merges can never
+    cross a word boundary). Token count = count of ``>`` chars — every
+    symbol contributes exactly one."""
+    parts = [_oracle_ctes(k)]
+    parts.append(
+        ",\nd0 AS MATERIALIZED (SELECT doc_id, n_chars, "
+        "regexp_replace(text, '([^ ])', '<\\1>', 'g') AS seq FROM documents)"
+    )
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+         replace(seq, '<' || lft || '><' || rgt || '>', '<' || lft || rgt || '>') AS seq
+  FROM d{i - 1}, b{i})"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id,
+       CAST(length(seq) - length(replace(seq, '>', '')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(seq, ' '), t -> t <> '')) AS INT) AS n_words,
+       CAST(n_chars - CAST(len(list_filter(string_split(seq, ' '), t -> t <> '')) AS INT) + 1 AS DOUBLE)
+           / (length(seq) - length(replace(seq, '>', ''))) AS chars_per_token
+FROM d{k}"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_encode_documents", oracle=_encode_oracle(N_MERGES))
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side half of the tokenizer family: encode every document
+    with the learned BPE merges and report per-doc subword token count,
+    word count, and mean letters-per-token (the compression a training
+    pipeline budgets context length by; feeds ``sequence_packing``).
+
+    The k merge rules come from the SAME driver-bounded learning loop;
+    encoding itself is k chained literal-``replace`` projections over
+    the corpus — JVM codegen, zero shuffles, embarrassingly parallel —
+    the inherently corpus-sized pass this operator exists to do.
+    ``chars_per_token`` is letters/token: n_chars counts single spaces
+    between words, so letters = n_chars - (n_words - 1); one exact
+    int/int double division, deterministic cross-engine."""
+    merges, cur = _learn(spark, sf_dir, N_MERGES)
+    cur.unpersist()
+    docs = load_table(spark, sf_dir, "documents")
+    seq = F.regexp_replace("text", "([^ ])", "<$1>")
+    for m in merges:
+        seq = F.replace(
+            seq, F.lit(f"<{m['lft']}><{m['rgt']}>"), F.lit(f"<{m['merged']}>")
+        )
+    n_tok = F.length(seq) - F.length(F.replace(seq, F.lit(">"), F.lit("")))
+    n_words = F.size(F.filter(F.split(seq, " "), lambda t: t != ""))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_bpe_tokens"),
+        n_words.alias("n_words"),
+        ((F.col("n_chars") - n_words + F.lit(1)).cast("double") / n_tok).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 @register("bpe_learn_merges", oracle=_merges_oracle(N_MERGES))
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First N_MERGES BPE merge rules learned from the document corpus:

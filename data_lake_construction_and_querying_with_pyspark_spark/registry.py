@@ -100,6 +100,7 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "acid_change_feed",
     "bpe_learn_merges",
     "bpe_token_counts",
+    "bpe_encode_documents",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -144,7 +145,8 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "pii_anonymize_customers",
     "expectations_orders",
     "snapshot_diff_orders",
-    "table_profile_events",
+    # table_profile_events rotated out for bpe_encode_documents (same
+    # rule as above); keeps its r3 row, re-verifies r6.
     "join_key_skew_profile",
     # corr_quantity_price_exact / histogram_order_totalprice rotated out
     # for the r5 bpe_learn_merges / bpe_token_counts additions (same

@@ -170,6 +170,7 @@ _SLOW = {
     "streaming_hourly_rollup",
     "bpe_learn_merges",  # eager merge-iteration loop (k 1-row collects)
     "bpe_token_counts",  # embeds the same eager loop
+    "bpe_encode_documents",  # embeds the same eager loop
 }  # iterative / streaming
 
 

@@ -84,6 +84,27 @@ def test_token_counts_match_reference_bpe(spark, corpus_words):
     assert got == {t: (len(t), n) for t, n in expected.items()}
 
 
+def test_encode_matches_reference_bpe(spark, corpus_words):
+    """Per-document subword counts from the doc-level k-replace encode
+    must equal tokenizing each document word-by-word through the
+    reference implementation's final word→symbols map."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.tokenizer import (
+        bpe_encode_documents,
+    )
+
+    _, seqs = _reference_bpe(corpus_words, N_MERGES)
+    tbl = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        words = [t for t in text.split(" ") if t]
+        expected[doc_id] = (sum(len(seqs[w]) for w in words), len(words))
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in bpe_encode_documents(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
 def test_replace_semantics_on_overlapping_runs(spark):
     """The merge-application step IS literal leftmost non-overlapping
     string replace. aaaa + merge (a,a) must become (aa)(aa) — classic
