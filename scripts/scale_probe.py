@@ -134,6 +134,7 @@ _PROBE_OPS = [
     # track the token count linearly and nothing else.
     "bpe_learn_merges",
     "bpe_token_counts",
+    "bpe_encode_documents",  # the inherently corpus-sized encode pass — expect ~linear
 ]
 
 
