@@ -407,3 +407,32 @@ def test_tfidf_window_partitioned_by_doc(spark, queries):
     assert "WindowGroupLimit" in plan, plan
     # the only SinglePartition exchange allowed is the 1-row corpus count
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_bpe_stage_plans(spark):
+    """The tokenizer family's 100 TB contract, pinned at the plan level:
+    (a) word-frequency build — ONE exchange, map-side partial_count
+    before it (the only corpus-sized stage); (b) pair counting — runs on
+    the vocabulary table with its own partial_sum combine and NO second
+    corpus scan beyond the shared word-freq subtree; (c) document encode
+    — a pure zero-exchange, join-free codegen projection (k chained
+    literal replaces)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.tokenizer import (
+        _pair_counts,
+        _word_freq,
+        bpe_encode_documents,
+    )
+
+    wf = _word_freq(spark, SF_SMOKE)
+    wf_plan = _plan(wf)
+    assert wf_plan.count("Exchange") == 1, wf_plan
+    assert "partial_count" in wf_plan, wf_plan
+
+    pc_plan = _plan(_pair_counts(wf))
+    assert pc_plan.count("Exchange") == 2, pc_plan  # word-freq + pair agg
+    assert "partial_sum" in pc_plan, pc_plan
+    assert pc_plan.count("Scan parquet") == 1, pc_plan  # corpus read once
+
+    enc_plan = _plan(bpe_encode_documents(spark, SF_SMOKE))
+    assert "Exchange" not in enc_plan, enc_plan
+    assert "Join" not in enc_plan, enc_plan
