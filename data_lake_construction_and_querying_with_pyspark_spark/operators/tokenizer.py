@@ -116,7 +116,8 @@ def _learn(spark: SparkSession, sf_dir: str, k: int) -> tuple[list[Row], DataFra
     centroid collect between Lloyd's iterations (semantic.py): the next
     iteration's plan is built from the literal, keeping every
     vocabulary-sized stage distributed and fully deterministic."""
-    cur = _word_freq(spark, sf_dir).persist()
+    base = _word_freq(spark, sf_dir).persist()
+    cur = base
     merges: list[Row] = []
     for step in range(1, k + 1):
         best = (
@@ -145,6 +146,7 @@ def _learn(spark: SparkSession, sf_dir: str, k: int) -> tuple[list[Row], DataFra
                 F.lit(f"<{b['lft']}{b['rgt']}>"),
             ),
         )
+    base.unpersist()  # derived `cur` plans have already consumed the cache
     return merges, cur
 
 
@@ -246,8 +248,7 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``chars_per_token`` is letters/token: n_chars counts single spaces
     between words, so letters = n_chars - (n_words - 1); one exact
     int/int double division, deterministic cross-engine."""
-    merges, cur = _learn(spark, sf_dir, N_MERGES)
-    cur.unpersist()
+    merges, _ = _learn(spark, sf_dir, N_MERGES)
     docs = load_table(spark, sf_dir, "documents")
     seq = F.regexp_replace("text", "([^ ])", "<$1>")
     for m in merges:
@@ -273,8 +274,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count). The k-row result is intrinsically driver-sized; all
     counting stages are distributed (see module docstring for the
     100 TB shape)."""
-    merges, cur = _learn(spark, sf_dir, N_MERGES)
-    cur.unpersist()
+    merges, _ = _learn(spark, sf_dir, N_MERGES)
     return spark.createDataFrame(merges, _MERGES_SCHEMA)
 
 
@@ -292,5 +292,4 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("n_occurrences"))
         .select("token", F.length("token").alias("token_len"), "n_occurrences")
     )
-    cur.unpersist()
     return out
