@@ -109,14 +109,20 @@ def _pair_counts(cur: DataFrame) -> DataFrame:
 
 
 def _learn(spark: SparkSession, sf_dir: str, k: int) -> tuple[list[Row], DataFrame]:
-    """Run k BPE merge iterations; returns (merge rules, final word table).
+    """Run k BPE merge iterations over the corpus at ``sf_dir``."""
+    return learn_merges(_word_freq(spark, sf_dir), k)
+
+
+def learn_merges(words: DataFrame, k: int) -> tuple[list[Row], DataFrame]:
+    """k BPE merge iterations over a ``(freq, seq)`` word table; returns
+    (merge rules, final word table).
 
     Each iteration materializes exactly ONE row (the argmax pair) to the
     driver — the same deliberate driver-bounded shape as the k×dim
     centroid collect between Lloyd's iterations (semantic.py): the next
     iteration's plan is built from the literal, keeping every
     vocabulary-sized stage distributed and fully deterministic."""
-    base = _word_freq(spark, sf_dir).persist()
+    base = words.persist()
     cur = base
     merges: list[Row] = []
     for step in range(1, k + 1):

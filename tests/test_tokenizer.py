@@ -125,6 +125,45 @@ def test_replace_semantics_on_overlapping_runs(spark):
     assert spark_out == duck_out == ref == "<aa><aa><b><aa>"
 
 
+import hypothesis.strategies as st
+
+_words_strategy = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=20
+)
+
+
+def test_learn_merges_matches_reference_on_random_corpora(spark):
+    """Property: for ANY small word multiset — single-char words (no
+    pairs), repeated-letter runs (overlap order), heavy count ties —
+    the distributed loop picks exactly the reference implementation's
+    merges. Ties and degenerate shapes are where the cross-engine
+    string semantics would first crack."""
+    from hypothesis import HealthCheck, given, settings
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.tokenizer import (
+        learn_merges,
+    )
+
+    @given(words=_words_strategy)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(words):
+        counts = Counter(words)
+        expected, _ = _reference_bpe(counts, 3)
+        wdf = spark.createDataFrame(
+            [(freq, "".join(f"<{c}>" for c in w)) for w, freq in sorted(counts.items())],
+            "freq long, seq string",
+        )
+        merges, _ = learn_merges(wdf, 3)
+        got = [(m["step"], m["lft"], m["rgt"], m["merged"], m["pair_count"]) for m in merges]
+        assert got == expected, (words, got, expected)
+
+    check()
+
+
 def test_iterations_run_on_vocabulary_not_corpus(spark, corpus_words):
     """The 100 TB contract: after the one word-frequency shuffle, every
     merge iteration's pair scan reads the distinct-word table (31 rows
