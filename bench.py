@@ -48,6 +48,7 @@ HEADLINE = [
     "pagerank_trade_network",  # added r4: iterative graph analytics
     "knn_graph_topk",  # added r5: kNN-graph family (VERDICT r4 directive #2)
     "bpe_learn_merges",  # added r5: tokenizer-training family (iterative merge learning)
+    "rerank_bm25_candidates",  # added r5: two-stage retrieve-then-rerank
 ]
 
 

@@ -41,8 +41,13 @@ merge of k rows), not a global sort.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from data_lake_construction_and_querying_with_pyspark_spark.operators.text import _toks
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
@@ -61,11 +66,10 @@ _ORACLE_TOKS = """
         FROM documents
     )"""
 
-
-@register(
-    "bm25_topk_documents",
-    oracle=f"""
-    WITH {_ORACLE_TOKS},
+# The full BM25 scoring chain (shared by the top-k query's oracle and the
+# rerank query's candidate-generation stage) — everything up to an
+# unlimited (doc_id, bm25_score) relation named `bm25`.
+_ORACLE_BM25 = f"""{_ORACLE_TOKS},
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
     nd AS (SELECT COUNT(*) AS n_docs FROM documents),
     avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
@@ -89,9 +93,19 @@ _ORACLE_TOKS = """
                     AS DECIMAL(38,12)) AS contrib
         FROM tf JOIN dl ON tf.doc_id = dl.doc_id
                 JOIN dft USING (term), nd, avgdl
-    )
-    SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS bm25_score
-    FROM scored GROUP BY doc_id
+    ),
+    bm25 AS (
+        SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS bm25_score
+        FROM scored GROUP BY doc_id
+    )"""
+
+
+@register(
+    "bm25_topk_documents",
+    oracle=f"""
+    WITH {_ORACLE_BM25}
+    SELECT doc_id, bm25_score
+    FROM bm25
     ORDER BY bm25_score DESC, doc_id
     LIMIT {_TOPK}
     """,
@@ -105,6 +119,22 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths and df are small keyed aggregates; final top-k is
     TakeOrderedAndProject, no global sort."""
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _QUERY_TERMS)
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
+def bm25_scores(docs: DataFrame, query_terms: Sequence[str]) -> DataFrame:
+    """Unlimited ``(doc_id, bm25_score)`` BM25 relevance relation for a
+    keyword query over a ``(doc_id, text)`` frame — the scoring core
+    shared by :func:`bm25_topk_documents` and the rerank operators.
+
+    Same determinism contract as the module docstring: odds-form idf,
+    one fixed chain of individually-rounded double ops, DECIMAL(38,12)
+    per-term contributions before the per-document SUM."""
+    spark = docs.sparkSession
     toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
 
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -112,7 +142,7 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
     )
-    qterms = spark.createDataFrame([(t,) for t in _QUERY_TERMS], "term string")
+    qterms = spark.createDataFrame([(t,) for t in query_terms], "term string")
 
     tf = (
         toks.join(F.broadcast(qterms), toks["tok"] == qterms["term"])
@@ -133,11 +163,8 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(avgdl))
         .select("doc_id", (idf * tf_norm).cast("decimal(38,12)").alias("contrib"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("contrib").cast("double").alias("bm25_score"))
-        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-        .limit(_TOPK)
+    return scored.groupBy("doc_id").agg(
+        F.sum("contrib").cast("double").alias("bm25_score")
     )
 
 
@@ -193,4 +220,228 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.withColumn("term_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "tok", "tfidf_weight", "term_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieve-then-rerank: BM25 candidate generation + cross-encoder-style
+# rerank. The expensive per-(query, document) scoring pass — a neural
+# cross-encoder in production — runs ONLY on the top-N candidate rows,
+# never the corpus; that asymmetry (cheap sparse retrieval over
+# everything, expensive joint scoring over almost nothing) is THE
+# standard two-stage retrieval architecture and the reason rerank cost
+# is corpus-size-independent at 100 TB.
+#
+# Stub discipline (same as operators/multimodal.py): this container has
+# no model runtime, so the REGISTERED query scores with a deterministic
+# joint query×document feature rule — term coverage, exact ordered
+# bigram hits, first-occurrence span and earliest position — that both
+# engines compute in exact integer arithmetic (oracle-hash-exact). The
+# production hook is `rerank_with_scorer`, which takes any
+# (query, texts) -> scores callable and runs it as an Arrow-batched
+# pandas UDF over the candidate rows; tests prove the two paths emit
+# identical rankings when the callable implements the same rule, so the
+# plumbing (candidate broadcast, batch shape, ordering, top-k) is real
+# and a model swap is one argument.
+_RERANK_TOP_N = 50  # candidates out of BM25, into the reranker
+_RERANK_TOP_K = 10  # final reranked results
+# Ordered adjacent pairs of the query terms — the exact-phrase feature.
+_BIGRAMS = tuple(
+    f"{a} {b}" for a, b in zip(_QUERY_TERMS, _QUERY_TERMS[1:])
+)
+# First-occurrence sentinel for absent terms: larger than any document
+# length so LEAST() ignores absentees without NULL semantics.
+_ABSENT = 1 << 40
+
+
+def _rerank_oracle() -> str:
+    p_cols = ",\n               ".join(
+        f"CAST(list_position(tk, '{t}') AS BIGINT) AS p{i}"
+        for i, t in enumerate(_QUERY_TERMS)
+    )
+    bigram_sum = "\n                 + ".join(
+        f"CASE WHEN position(' {bg} ' IN padded) > 0 THEN 1 ELSE 0 END"
+        for bg in _BIGRAMS
+    )
+    cov_sum = " + ".join(
+        f"(CASE WHEN p{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_QUERY_TERMS))
+    )
+    least_args = ", ".join(
+        f"CASE WHEN p{i} > 0 THEN p{i} ELSE {_ABSENT} END"
+        for i in range(len(_QUERY_TERMS))
+    )
+    greatest_args = ", ".join(f"p{i}" for i in range(len(_QUERY_TERMS)))
+    return f"""
+    WITH {_ORACLE_BM25},
+    cand AS (
+        SELECT doc_id, bm25_score FROM bm25
+        ORDER BY bm25_score DESC, doc_id
+        LIMIT {_RERANK_TOP_N}
+    ),
+    feat AS (
+        SELECT c.doc_id, c.bm25_score,
+               list_filter(string_split(d.text, ' '), t -> t <> '') AS tk,
+               ' ' || d.text || ' ' AS padded
+        FROM cand c JOIN documents d USING (doc_id)
+    ),
+    pos AS (
+        SELECT doc_id, bm25_score,
+               {p_cols},
+               CAST({bigram_sum} AS INT) AS bigram_hits
+        FROM feat
+    ),
+    fx AS (
+        SELECT doc_id, bm25_score, bigram_hits,
+               CAST({cov_sum} AS INT) AS coverage,
+               LEAST({least_args}) AS minpos,
+               GREATEST({greatest_args}) AS maxpos
+        FROM pos
+    ),
+    fy AS (
+        SELECT doc_id, coverage, bigram_hits,
+               CAST(CASE WHEN coverage >= 2 THEN maxpos - minpos ELSE 0 END
+                    AS BIGINT) AS span,
+               CAST(CASE WHEN coverage >= 1 THEN minpos ELSE 0 END
+                    AS BIGINT) AS earliest,
+               bm25_score
+        FROM fx
+    )
+    SELECT * FROM (
+        SELECT doc_id, coverage, bigram_hits, span, earliest, bm25_score,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY coverage DESC, bigram_hits DESC, span, earliest,
+                            bm25_score DESC, doc_id) AS INT) AS rerank_rank
+        FROM fy
+    ) WHERE rerank_rank <= {_RERANK_TOP_K}
+    """
+
+
+def cross_feature_columns() -> dict[str, "F.Column"]:
+    """The deterministic joint query×document features, as named Spark
+    columns over a frame carrying ``text`` — exact integer arithmetic
+    only, so Spark and DuckDB agree bit-for-bit (no floats, no NULLs:
+    absent terms use the {_ABSENT} sentinel instead of NULL so
+    LEAST/GREATEST semantics never enter the contract)."""
+    tk = _toks()
+    pos = [F.array_position(tk, t) for t in _QUERY_TERMS]
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    coverage = None
+    for p in pos:
+        c = F.when(p > 0, 1).otherwise(0)
+        coverage = c if coverage is None else coverage + c
+    bigram_hits = None
+    for bg in _BIGRAMS:
+        h = F.when(F.instr(padded, f" {bg} ") > 0, 1).otherwise(0)
+        bigram_hits = h if bigram_hits is None else bigram_hits + h
+    minpos = F.least(*[F.when(p > 0, p).otherwise(F.lit(_ABSENT)) for p in pos])
+    maxpos = F.greatest(*pos)
+    return {
+        "coverage": coverage.cast("int"),
+        "bigram_hits": bigram_hits.cast("int"),
+        "_minpos": minpos,
+        "_maxpos": maxpos,
+    }
+
+
+@register("rerank_bm25_candidates", oracle=_rerank_oracle())
+def rerank_bm25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 top-50 candidate generation, then a
+    deterministic cross-encoder-style rerank to top-10 by joint
+    query×document features (term coverage desc, exact ordered bigram
+    hits desc, first-occurrence span asc, earliest position asc, BM25
+    desc, doc_id) — the fake-model stand-in for the
+    :func:`rerank_with_scorer` production hook.
+
+    Plan: BM25's inverted-index scoring never shuffles the corpus on
+    content; the 50-row candidate list broadcasts back onto the
+    documents scan (map-side hash join — the corpus is read, never
+    exchanged); features are a zero-shuffle projection; the final
+    row_number window sees exactly 50 rows. Rerank cost is
+    O(top_n), independent of corpus size.
+
+    The reference exposes retrieval only as SQL pass-through (reference
+    ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:113``);
+    this is the north-star eval/curation operator built on it."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        bm25_scores(docs, _QUERY_TERMS)
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(_RERANK_TOP_N)
+    )
+    feats = docs.join(F.broadcast(cand), "doc_id").select(
+        "doc_id",
+        "bm25_score",
+        *[c.alias(n) for n, c in cross_feature_columns().items()],
+    )
+    feats = feats.select(
+        "doc_id",
+        "coverage",
+        "bigram_hits",
+        F.when(F.col("coverage") >= 2, F.col("_maxpos") - F.col("_minpos"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("span"),
+        F.when(F.col("coverage") >= 1, F.col("_minpos"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("earliest"),
+        "bm25_score",
+    )
+    w = Window.orderBy(
+        F.desc("coverage"),
+        F.desc("bigram_hits"),
+        F.asc("span"),
+        F.asc("earliest"),
+        F.desc("bm25_score"),
+        F.asc("doc_id"),
+    )
+    return (
+        feats.withColumn("rerank_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rerank_rank") <= _RERANK_TOP_K)
+    )
+
+
+def rerank_with_scorer(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    scorer: Callable[[str, "pd.Series"], "pd.Series"],
+    *,
+    top_n: int = _RERANK_TOP_N,
+    top_k: int = _RERANK_TOP_K,
+) -> DataFrame:
+    """Production rerank hook: BM25 narrows the corpus to ``top_n``
+    candidates, then ``scorer(query_text, texts) -> scores`` — a real
+    cross-encoder in production, any callable here — runs over ONLY
+    those rows as an Arrow-batched pandas UDF. Returns
+    ``(doc_id, bm25_score, rerank_score, rerank_rank)`` with
+    ``rerank_rank <= top_k`` ordered by score desc (BM25 then doc_id as
+    tiebreaks).
+
+    The model pass is the expensive stage of two-stage retrieval; here
+    it touches ``top_n`` rows per query regardless of corpus size, and
+    the candidate frame is broadcast so the corpus-side text lookup is
+    a map-side join. ``tests/test_retrieval_graph.py`` proves this path
+    emits the identical ranking to :func:`rerank_bm25_candidates` when
+    the callable implements the same feature rule — the plumbing a real
+    model would ride is what's under test."""
+    query = " ".join(query_terms)
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        return pd.Series(scorer(query, texts), dtype="float64")
+
+    cand = (
+        bm25_scores(docs, query_terms)
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    scored = docs.join(F.broadcast(cand), "doc_id").select(
+        "doc_id", "bm25_score", _score(F.col("text")).alias("rerank_score")
+    )
+    w = Window.orderBy(
+        F.desc("rerank_score"), F.desc("bm25_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rerank_rank") <= top_k)
     )

@@ -101,6 +101,7 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "bpe_learn_merges",
     "bpe_token_counts",
     "bpe_encode_documents",
+    "rerank_bm25_candidates",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -142,7 +143,10 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "boilerplate_token_scrub",
     "source_mix_draw",
     "weighted_systematic_draw",
-    "pii_anonymize_customers",
+    # pii_anonymize_customers rotated out for the late-r5
+    # rerank_bm25_candidates addition (never-driver-checked-first rule;
+    # pii is the simplest remaining pick — one map-side projection,
+    # twice-stable). Keeps its r3 row, re-verifies r6.
     "expectations_orders",
     "snapshot_diff_orders",
     # table_profile_events rotated out for bpe_encode_documents (same

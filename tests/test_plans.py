@@ -160,6 +160,7 @@ _NESTED_LOOP_OK = {
     "semantic_dedup_sampled",  # same 1-row anchor-array broadcast in the shortlist assign
     "boilerplate_token_scrub",  # vocab DF table × broadcast 1-row doc count
     "bm25_topk_documents",  # postings × broadcast 1-row corpus stats
+    "rerank_bm25_candidates",  # same BM25 1-row stats broadcasts in the candidate stage
     "tfidf_top_terms_per_doc",  # postings × broadcast 1-row doc count
     "pagerank_trade_network",  # rank table × broadcast 1-row node-count/dangling-mass
 }
