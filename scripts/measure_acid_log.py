@@ -16,7 +16,7 @@ Reports one JSON object:
  * time_travel_s at v=100 / 5000 / 9999
  * history_s, log_dir_mb, largest_checkpoint_kb
 
-Usage: python scripts/measure_acid_log.py [n_commits] [root_dir]
+Usage: python scripts/measure_acid_log.py [n_commits] [root_dir] [checkpoint_every]
 """
 
 from __future__ import annotations
@@ -38,6 +38,10 @@ from data_lake_construction_and_querying_with_pyspark_spark.acid import (  # noq
 def main() -> None:
     n_commits = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/acid_log_probe"
+    if len(sys.argv) > 3:  # checkpoint-interval A/B for the policy choice
+        import data_lake_construction_and_querying_with_pyspark_spark.acid as acid_mod
+
+        acid_mod.CHECKPOINT_EVERY = int(sys.argv[3])
     if os.path.isdir(root):
         shutil.rmtree(root)
     t = TransactionalTable.create(root)

@@ -662,3 +662,46 @@ def test_bloom_read_prune_eq(spark, table):
     assert "f1" in flags  # 41 % 4 == 1: its file always survives
     assert len(flags) <= 2  # at most one false-positive file joins it
     assert 41 in {r["k"] for r in pruned.collect()}
+
+
+def test_checkpoints_build_incrementally_without_ops(table):
+    """The checkpoint builder starts from the PREVIOUS checkpoint and
+    stores live-file state only: (a) a mid-history time travel that
+    lands between checkpoints equals the hand-replayed live set, (b)
+    checkpoints carry no accumulated ops payload (the measured
+    quadratic-log term, docs/SCALING.md), and (c) history() still
+    returns every commit's op record."""
+    live: dict[int, set] = {}
+    cur: set = set()
+    n = CHECKPOINT_EVERY * 2 + 5
+    for v in range(1, n + 1):
+        entry = {
+            "add": [{"file": f"data/f{v}.parquet", "rows": 1, "bytes": 10}],
+            "op": {"operation": "append", "i": v},
+        }
+        if v > 3:
+            entry["remove"] = [{"file": f"data/f{v - 3}.parquet"}]
+            cur.discard(f"data/f{v - 3}.parquet")
+        cur.add(f"data/f{v}.parquet")
+        assert table._try_create(v, entry)
+        live[v] = set(cur)
+
+    cps = sorted(
+        f for f in os.listdir(table.log_path) if f.endswith(".checkpoint.json")
+    )
+    assert len(cps) == 2
+    for cp in cps:
+        with open(os.path.join(table.log_path, cp)) as fh:
+            state = json.load(fh)
+        assert "ops" not in state
+        assert set(state["files"]) == live[int(cp.split(".")[0])]
+
+    # time travel between/before/after checkpoints replays correctly
+    for v in (3, CHECKPOINT_EVERY, CHECKPOINT_EVERY + 7, n):
+        snap = table.snapshot(version=v)
+        assert set(snap.files) == live[v], v
+        assert snap.version == v
+
+    hist = table.history()
+    assert [h["version"] for h in hist] == list(range(1, n + 1))
+    assert all(h["operation"] in ("append",) for h in hist)
