@@ -461,7 +461,7 @@ _GRAPH_TOP_K = 3
 
 
 def _bucket_scored_candidates(
-    e: DataFrame, n_tables: int, n_planes: int
+    e: DataFrame, n_tables: int, n_planes: int, seed: int = 7
 ) -> DataFrame:
     """Directional candidate edges with cosine scored INSIDE the LSH
     bucket self-join: (vec_id, nbr_id, cosine), one row per (pair,
@@ -485,7 +485,7 @@ def _bucket_scored_candidates(
     from pyspark import StorageLevel
 
     heavy = (
-        lsh_multi_buckets_flat(e, n_tables=n_tables, n_planes=n_planes)
+        lsh_multi_buckets_flat(e, n_tables=n_tables, n_planes=n_planes, seed=seed)
         .join(e, "vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1089,3 +1089,178 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(spark, emb, query_ids=range(_N_QUERIES))
+
+
+# -- Hard-negative mining (contrastive training triplets) -----------------
+
+
+# Negative-pool band geometry: deliberately COARSE (2 tables × 8 sign
+# bits → 256 keys/table) and seeded independently of the dedup tables.
+# Duplicate detection wants selective buckets (65 536 keys — near-dups
+# still collide, random pairs don't); negative MINING wants the
+# opposite: a rich pool of merely-nearby candidates, which is exactly
+# what coarse buckets hold. At corpus scale the coarse pool's cost is
+# in-join dot-product CPU (Σ bucket² per table), not shuffle — the
+# map-side max_by forwards one row per anchor — but it does grow
+# superlinearly; a billion-scale pipeline swaps the pool source for
+# IVF-PQ shortlists (knn_ivf_pq) and keeps this operator's
+# threshold-split + argmax contract unchanged.
+_NEG_TABLES = 2
+_NEG_PLANES = 8
+_NEG_SEED = 424_243
+
+
+def hard_negative_triplets(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    neg_tables: int = _NEG_TABLES,
+    neg_planes: int = _NEG_PLANES,
+) -> DataFrame:
+    """Contrastive-training triplet mining: for every near-duplicate
+    pair (anchor, positive) — cosine > ``tau``, the same contract and
+    band geometry as the embedding dedup ladder — attach the anchor's
+    HARDEST NEGATIVE: its highest-cosine candidate at or below ``tau``
+    from a second, deliberately COARSE band pool (see ``_NEG_*``).
+    Output ``(anchor_id, pos_id, pos_cosine, neg_id, neg_cosine)``;
+    anchors whose coarse buckets hold no sub-threshold mate emit no
+    triplet (honest approximate-candidate semantics — production
+    raises ``neg_tables`` to push coverage up).
+
+    This is the data an embedding model's contrastive fine-tune
+    consumes: in-batch negatives are easy; the pairs that move the
+    loss are the near-misses, and a bucket pool tuned for RECALL OF
+    THE MERELY-SIMILAR surfaces them for free.
+
+    Scale shape: positives are the (a < b, cosine > tau) rows of the
+    production-geometry candidate join after the multi-table distinct
+    (a few thousand at any rung — the dedup measurement); negatives
+    are a map-side idempotent ``max_by`` over the coarse pool's
+    (cosine <= tau) rows (duplicate multi-table rows are bit-identical,
+    the ``knn_graph_top1`` argument), so the exchange carries one row
+    per anchor; the final join is positives-sized."""
+    from pyspark import StorageLevel
+
+    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = (
+        _bucket_scored_candidates(e, n_tables, n_planes)
+        .filter((F.col("vec_id") < F.col("nbr_id")) & (F.col("cosine") > tau))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("nbr_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+        .distinct()
+    )
+    best = F.max_by(
+        F.struct("nbr_id", "cosine"),
+        F.struct(F.col("cosine"), (-F.col("nbr_id")).alias("neg")),
+    ).alias("b")
+    neg = (
+        _bucket_scored_candidates(e, neg_tables, neg_planes, seed=_NEG_SEED)
+        .filter(F.col("cosine") <= tau)
+        .groupBy(F.col("vec_id").alias("anchor_id"))
+        .agg(best)
+        .select(
+            "anchor_id",
+            F.col("b.nbr_id").alias("neg_id"),
+            F.col("b.cosine").alias("neg_cosine"),
+        )
+    )
+    return pos.join(neg, "anchor_id")
+
+
+def _oracle_hard_negatives(dim: int = 64) -> str:
+    """DuckDB replay of ``hard_negative_mining``: the shared
+    scaled-geometry candidate CTEs (seeded-LCG hyperplanes as double
+    literals) for the positives, an independent coarse band CTE (the
+    ``_NEG_*`` geometry, its own seeds as literals) for the negative
+    pool, hardest negative via ROW_NUMBER with the same (cosine DESC,
+    nbr_id) tie-break as the Spark ``max_by`` struct ordering."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _SCALED_TAU,
+        _scaled_pairs_ctes,
+    )
+
+    branches = []
+    for t in range(_NEG_TABLES):
+        planes = _hyperplanes(dim, _NEG_PLANES, seed=_NEG_SEED + 1000 * t)
+        key = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        branches.append(f"SELECT vec_id, {t} AS tbl, {key} AS key FROM e")
+    neg_bands = " UNION ALL ".join(branches)
+
+    return f"""
+    WITH {_scaled_pairs_ctes(dim)},
+    pos AS (
+        SELECT cand.vec_a AS anchor_id, cand.vec_b AS pos_id,
+               list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS pos_cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.vec_a
+        JOIN e eb ON eb.vec_id = cand.vec_b
+        WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) > {_SCALED_TAU}
+    ),
+    negbands AS MATERIALIZED ({neg_bands}),
+    negcand AS (
+        SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+        FROM negbands a JOIN negbands b ON a.tbl = b.tbl AND a.key = b.key
+        WHERE a.vec_id <> b.vec_id
+    ),
+    negscored AS (
+        SELECT negcand.vec_id, negcand.nbr_id,
+               list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+        FROM negcand
+        JOIN e ea ON ea.vec_id = negcand.vec_id
+        JOIN e eb ON eb.vec_id = negcand.nbr_id
+        WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) <= {_SCALED_TAU}
+    ),
+    hardneg AS (
+        SELECT vec_id AS anchor_id, nbr_id AS neg_id, cosine AS neg_cosine
+        FROM (SELECT vec_id, nbr_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cosine DESC, nbr_id) AS rn
+              FROM negscored) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_cosine, h.neg_id, h.neg_cosine
+    FROM pos p JOIN hardneg h ON p.anchor_id = h.anchor_id
+    """
+
+
+@register("hard_negative_mining", oracle=_oracle_hard_negatives())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplets over the planted-clone corpus (same aug
+    as ``dedup_embedding_cosine_pairs`` / ``knn_graph_topk``): every
+    50th vector's clone pins the positive by construction, and the
+    hardest negative is the anchor's best sub-threshold bucket-mate —
+    the contrastive fine-tuning dataset mined from the dedup pass's
+    own rejected candidates. The DuckDB oracle replays hyperplanes,
+    candidates, threshold split, and the argmax tie-break end-to-end,
+    so recall and the exact negative choice are both cross-engine
+    pinned."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_PLANES,
+        _SCALED_TABLES,
+        _SCALED_TAU,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    return hard_negative_triplets(
+        spark,
+        base.unionByName(clones),
+        tau=_SCALED_TAU,
+        n_tables=_SCALED_TABLES,
+        n_planes=_SCALED_PLANES,
+    )

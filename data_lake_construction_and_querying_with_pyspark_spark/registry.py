@@ -102,6 +102,7 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "bpe_token_counts",
     "bpe_encode_documents",
     "rerank_bm25_candidates",
+    "hard_negative_mining",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -141,7 +142,10 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "decontamination_overlap",
     "sequence_packing",
     "boilerplate_token_scrub",
-    "source_mix_draw",
+    # source_mix_draw rotated out for the late-r5 hard_negative_mining
+    # addition (never-driver-checked-first rule; it is the simplest
+    # remaining pick — an RNG-free md5-ranked quota draw, twice-stable).
+    # Keeps its r3 row, re-verifies r6.
     "weighted_systematic_draw",
     # pii_anonymize_customers rotated out for the late-r5
     # rerank_bm25_candidates addition (never-driver-checked-first rule;

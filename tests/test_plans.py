@@ -155,6 +155,7 @@ _NESTED_LOOP_OK = {
     "dedup_embedding_cosine_pairs",  # corpus × broadcast 128-row plane table (scaled geometry)
     "knn_graph_top1",  # same corpus × broadcast plane-table bucket construction
     "knn_graph_topk",  # same construction, windowed top-3 variant
+    "hard_negative_mining",  # same plane-table broadcasts (fine + coarse pools)
     "join_key_skew_profile",  # keys × broadcast 1-row total
     "semantic_dedup_embeddings",  # corpus × broadcast k-centroid table (Lloyd's assign)
     "semantic_dedup_sampled",  # same 1-row anchor-array broadcast in the shortlist assign

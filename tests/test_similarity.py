@@ -199,3 +199,27 @@ def test_ivf_pq_recovers_planted_clones(spark):
         if (q + 1) in [nb for rn, nb, _ in ranked[:3]]:
             hits += 1
     assert hits >= 16, f"planted partner in IVF-PQ top-3 for only {hits}/20 queries"
+
+
+def test_hard_negative_triplets_contract(spark):
+    """Every triplet: positive strictly above tau, negative at or
+    below, three distinct ids; every emitted positive is the planted
+    clone partner (anchors are every-50th base vectors), so the miner
+    recovers dedup's ground truth and attaches a genuinely
+    sub-threshold negative."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_TAU,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, SF_SMOKE).collect()
+    assert rows, "fixture must emit at least one triplet"
+    for r in rows:
+        assert r.pos_cosine > _SCALED_TAU >= r.neg_cosine
+        assert len({r.anchor_id, r.pos_id, r.neg_id}) == 3
+        assert r.anchor_id % _CLONE_MOD == 0
+        assert r.pos_id == r.anchor_id + _CLONE_OFF
