@@ -103,6 +103,7 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "bpe_encode_documents",
     "rerank_bm25_candidates",
     "hard_negative_mining",
+    "pca_top_component",
     # -- oldest driver rows: latest green is r2 (all 23) --
     "conditional_agg_status_revenue",
     "cte_top_revenue_nations",
@@ -145,8 +146,9 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     # source_mix_draw rotated out for the late-r5 hard_negative_mining
     # addition (never-driver-checked-first rule; it is the simplest
     # remaining pick — an RNG-free md5-ranked quota draw, twice-stable).
-    # Keeps its r3 row, re-verifies r6.
-    "weighted_systematic_draw",
+    # weighted_systematic_draw rotated out for pca_top_component on the
+    # same rule (the other deterministic draw, equally simple). Both
+    # keep their r3 rows, re-verify r6.
     # pii_anonymize_customers rotated out for the late-r5
     # rerank_bm25_candidates addition (never-driver-checked-first rule;
     # pii is the simplest remaining pick — one map-side projection,
@@ -207,6 +209,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import formats_roundtrip  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import graph  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import lake_acid  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import pca  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
         streaming_hourly_rollup_query,
     )

@@ -267,12 +267,59 @@ def main() -> None:
         out_df = semantic_dedup_sampled(spark, emb, k=derive_k(n_docs), tau=0.95)
         return out_df.filter(F.col("is_semantic_dup"))
 
+    # Hard-negative mining over the probe embeddings (late r5): planted
+    # pair groups make the positives exact ground truth; the coarse
+    # 2×8-bit negative pool's Σ bucket² candidate volume is THE term
+    # this rung measures (in-join CPU, no exchange growth — the map-
+    # side max_by forwards one row per anchor).
+    def hard_negatives(spark, sf_dir):
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            hard_negative_triplets,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return hard_negative_triplets(spark, emb, tau=0.9)
+
+    def hard_negatives_recovery(df, spark):
+        from pyspark.sql import functions as F
+
+        planted = F.pmod((F.col("anchor_id") / 2).cast("long"), 20) < 2
+        partner = F.col("anchor_id").bitwiseXOR(F.lit(1))
+        hits = df.filter(planted & (F.col("pos_id") == partner)).count()
+        return {"planted_pos_recovered": hits, "planted_pairs": n_docs // 20}
+
+    # Retrieve-then-rerank through the pandas-UDF scorer hook (late r5),
+    # query terms drawn from the probe vocabulary so BM25 has matches.
+    # The corpus-sized stage is BM25 candidate generation (already
+    # measured per-rung as bm25_topk_documents); the model-scoring pass
+    # touches exactly top_n=50 rows at ANY corpus size — this rung
+    # demonstrates that corpus-independence end to end.
+    def rerank_scored(spark, sf_dir):
+        import pandas as pd
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.retrieval import (
+            rerank_with_scorer,
+        )
+
+        def scorer(query: str, texts: "pd.Series") -> "pd.Series":
+            terms = query.split(" ")
+            return texts.map(
+                lambda t: float(sum(1 for w in terms if f" {w} " in f" {t} "))
+            )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return rerank_with_scorer(docs, ("w1", "w2", "w3"), scorer)
+
     probes = [(op, qs[op], None) for op in _PROBE_OPS] + [
         ("semantic_dedup_scaled_k", semantic_scaled, None),
         ("semantic_dedup_sampled_k", semantic_sampled, None),
         ("embedding_cosine_scaled_bits", cosine_scaled, None),
         ("knn_graph_topk_scaled", knn_graph, knn_graph_recovery),
+        ("hard_negative_mining_scaled", hard_negatives, hard_negatives_recovery),
+        ("rerank_bm25_pandas_scorer", rerank_scored, None),
     ]
+    count_rows.add("hard_negative_mining_scaled")
+    count_rows.add("rerank_bm25_pandas_scorer")
     count_rows.add("semantic_dedup_scaled_k")
     count_rows.add("semantic_dedup_sampled_k")
     count_rows.add("embedding_cosine_scaled_bits")

@@ -173,6 +173,7 @@ _SLOW = {
     "bpe_learn_merges",  # eager merge-iteration loop (k 1-row collects)
     "bpe_token_counts",  # embeds the same eager loop
     "bpe_encode_documents",  # embeds the same eager loop
+    "pca_top_component",  # eager power-iteration loop (3 × 64-row collects)
 }  # iterative / streaming
 
 
