@@ -310,6 +310,28 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return rerank_with_scorer(docs, ("w1", "w2", "w3"), scorer)
 
+    # PCA production path (late r5): one corpus pass of per-partition
+    # numpy Xᵀ·X (mapInPandas) + driver-side power iteration on the
+    # 64×64 result — the registered query's fixed-point explode-join
+    # twin exists for the oracle; THIS is the shape a 100 TB corpus
+    # runs, and the rung shows the corpus pass is the whole cost.
+    def pca_fast(spark, sf_dir):
+        import numpy as np
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.pca import (
+            gram_matrix_fast,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        g = np.array(gram_matrix_fast(emb))
+        v = np.ones(64)
+        for _ in range(3):
+            u = g @ v
+            v = u / np.abs(u).max()
+        return spark.createDataFrame(
+            [(i + 1, float(v[i])) for i in range(64)], "dim_idx int, loading double"
+        )
+
     probes = [(op, qs[op], None) for op in _PROBE_OPS] + [
         ("semantic_dedup_scaled_k", semantic_scaled, None),
         ("semantic_dedup_sampled_k", semantic_sampled, None),
@@ -317,6 +339,7 @@ def main() -> None:
         ("knn_graph_topk_scaled", knn_graph, knn_graph_recovery),
         ("hard_negative_mining_scaled", hard_negatives, hard_negatives_recovery),
         ("rerank_bm25_pandas_scorer", rerank_scored, None),
+        ("pca_gram_fast_power", pca_fast, None),
     ]
     count_rows.add("hard_negative_mining_scaled")
     count_rows.add("rerank_bm25_pandas_scorer")
