@@ -288,6 +288,22 @@ def main() -> None:
         hits = df.filter(planted & (F.col("pos_id") == partner)).count()
         return {"planted_pos_recovered": hits, "planted_pairs": n_docs // 20}
 
+    # Same operator, FINE-pool negatives (production geometry for both
+    # sides): at small corpora the 65 536-key buckets are too sparse to
+    # hold sub-threshold mates (the reason the registered query mines a
+    # coarse pool), but at ≥1M docs bucket density (~15/bucket) supplies
+    # negatives from the SAME sublinear candidate join the dedup pass
+    # already runs — the measured escape from the coarse pool's n² term.
+    def hard_negatives_fine(spark, sf_dir):
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            hard_negative_triplets,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return hard_negative_triplets(
+            spark, emb, tau=0.9, neg_tables=8, neg_planes=16
+        )
+
     # Retrieve-then-rerank through the pandas-UDF scorer hook (late r5),
     # query terms drawn from the probe vocabulary so BM25 has matches.
     # The corpus-sized stage is BM25 candidate generation (already
@@ -338,10 +354,12 @@ def main() -> None:
         ("embedding_cosine_scaled_bits", cosine_scaled, None),
         ("knn_graph_topk_scaled", knn_graph, knn_graph_recovery),
         ("hard_negative_mining_scaled", hard_negatives, hard_negatives_recovery),
+        ("hard_negative_mining_finepool", hard_negatives_fine, hard_negatives_recovery),
         ("rerank_bm25_pandas_scorer", rerank_scored, None),
         ("pca_gram_fast_power", pca_fast, None),
     ]
     count_rows.add("hard_negative_mining_scaled")
+    count_rows.add("hard_negative_mining_finepool")
     count_rows.add("rerank_bm25_pandas_scorer")
     count_rows.add("semantic_dedup_scaled_k")
     count_rows.add("semantic_dedup_sampled_k")
