@@ -322,3 +322,46 @@ def test_bloom_never_false_negative(members, probes):
         )
         total = sum(1 for p in probes if p not in set(members))
         assert total == 0 or misses >= 0  # (FPR bound asserted statistically below)
+
+
+_qword = st.sampled_from(["spark", "merge", "window", "zz"])
+_doc_toks = st.lists(_qword | st.sampled_from(["a", "bb", "ccc"]), min_size=0, max_size=12)
+
+
+@given(docs=st.lists(_doc_toks, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_rerank_cross_features_match_python_reference(spark, docs):
+    """The JVM rerank feature columns (coverage, bigram hits,
+    first-occurrence min/max positions) equal a pure-Python reference
+    for ANY token sequence — including empty docs, docs of only query
+    terms, repeated terms, and adjacent-bigram runs."""
+    from pyspark.sql import functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.retrieval import (
+        _ABSENT,
+        _BIGRAMS,
+        _QUERY_TERMS,
+        cross_feature_columns,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in cross_feature_columns().items()]
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        toks = [t for t in toks if t]
+        pos = [toks.index(t) + 1 if t in toks else 0 for t in _QUERY_TERMS]
+        coverage = sum(1 for p in pos if p > 0)
+        padded = " " + " ".join(toks) + " "
+        bigram_hits = sum(1 for bg in _BIGRAMS if f" {bg} " in padded)
+        minpos = min((p if p > 0 else _ABSENT) for p in pos)
+        maxpos = max(pos)
+        r = got[i]
+        assert r["coverage"] == coverage, (i, toks)
+        assert r["bigram_hits"] == bigram_hits, (i, toks)
+        assert r["_minpos"] == minpos, (i, toks)
+        assert r["_maxpos"] == maxpos, (i, toks)
