@@ -1241,7 +1241,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     own rejected candidates. The DuckDB oracle replays hyperplanes,
     candidates, threshold split, and the argmax tie-break end-to-end,
     so recall and the exact negative choice are both cross-engine
-    pinned."""
+    pinned.
+
+    No reference counterpart (the reference's query layer stops at SQL
+    pass-through, reference
+    ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:113``);
+    north-star LLM-pipeline operator per the rebuild charter."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
         _CLONE_MOD,
         _CLONE_OFF,
