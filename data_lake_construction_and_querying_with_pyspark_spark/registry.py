@@ -74,98 +74,76 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-5 rotation (VERDICT r4 directive #1): the 3 round-4 additions
-# that have never received a driver row go first (closing cumulative
-# coverage), plus this round's new acid_orders_lifecycle, then ALL 23
-# entries whose latest driver row is r2 (they would otherwise age past
-# the "no row older than 2 rounds" contract),
-# then 23 re-verification picks from the 44 r3-aged entries —
-# prioritized by operator complexity (the dedup/ANN/pipeline ladder and
-# statistical operators over twice-stable pure-SQL packs). The 20
-# r3-aged entries left out (TPC-H Q-series and events trio, each green
-# r3 under unchanged definitions) rotate into r6's window; everything
-# outside the window stays pinned locally by
+# Round-6 rotation (VERDICT r5 directive #1 — rotation debt, no new
+# registrations): ALL 32 oracle-bearing entries whose latest driver row
+# is r3 (they hit the "no row older than 2 rounds" contract edge this
+# round — the 20 deferred at r5 rotation plus the entries swapped out
+# for late-r5 never-checked additions), then pca_top_component (its r5
+# row is fresh, but the r6 top-k redefinition changes the result
+# contract, so the new definition needs a driver row), then 17
+# complexity-prioritized picks from the 49 r4-aged entries (the
+# dedup/ANN/retrieval ladder over twice-stable pure-SQL packs). The 32
+# r4-aged entries left out each keep a green r4 row — exactly 2 rounds
+# old at r6, inside the contract — and rotate into r7's window (32 + 18
+# of the 50 r5-aged rows keeps the cycle sustainable: 131 oracles /
+# 50 slots needs every entry re-checked at least every 3rd round).
+# Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-checked: round-4 additions + the r5 ACID and
-    # sampled-SemDeDup queries --
-    "knn_graph_top1",
-    "knn_graph_topk",
-    "dedup_canonical_corpus_embeddings",
-    "acid_orders_lifecycle",
-    "semantic_dedup_sampled",
-    "acid_delete_data_skipping",
-    "knn_pq_adc",
-    "knn_ivf_pq",
-    "acid_change_feed",
-    "bpe_learn_merges",
-    "bpe_token_counts",
-    "bpe_encode_documents",
-    "rerank_bm25_candidates",
-    "hard_negative_mining",
+    # -- r3-aged, contract edge this round: all 32 --
+    "asof_latest_order_per_event",
+    "corr_quantity_price_exact",
+    "customer_order_distribution_q13",
+    "deterministic_shuffle",
+    "disjunctive_predicates_q19",
+    "doc_repetition_signals",
+    "dominant_supplier_q20",
+    "event_transition_counts",
+    "events_click_purchase_pairs",
+    "events_cusum_drift",
+    "events_hourly_rollup",
+    "forecast_revenue_q6",
+    "histogram_order_totalprice",
+    "join_fact_fact_revenue",
+    "large_volume_customers_q18",
+    "late_shipper_q21",
+    "order_priority_checking_q4",
+    "parts_supplier_counts_q16",
+    "pii_anonymize_customers",
+    "promo_revenue_share_q14",
+    "recursive_transition_paths",
+    "returned_item_reporting_q10",
+    "sales_opportunity_q22",
+    "shipping_latency_priority_q12",
+    "small_quantity_revenue_q17",
+    "source_mix_draw",
+    "table_profile_events",
+    "text_token_stats",
+    "top_supplier_q15",
+    "train_val_test_split",
+    "unpivot_lineitem_measures",
+    "weighted_systematic_draw",
+    # -- redefined this round (top-k deflation; new result contract) --
     "pca_top_component",
-    # -- oldest driver rows: latest green is r2 (all 23) --
-    "conditional_agg_status_revenue",
-    "cte_top_revenue_nations",
-    "cube_flags",
-    "filter_project_pushdown",
-    "grouping_sets_priority_status",
-    "join_anti_customers_no_orders",
-    "join_broadcast_chain",
-    "join_outer_customer_orders",
-    "join_semi_customers_with_f_orders",
-    "json_extract_events",
-    "local_supplier_volume_q5",
-    "map_functions_pack",
-    "market_share_q8",
-    "math_functions_pack",
-    "null_handling_pack",
-    "pivot_status_counts",
-    "rollup_region_nation",
-    "segment_stats",
-    "shipping_priority_q3",
-    "text_regex_token_count",
-    "topk_global_orders",
-    "window_running_total",
-    "window_topk_per_customer",
-    # -- r3-aged re-verification picks (19 of 44; rest rotate r6 —
-    # recursive_transition_paths rotated out for acid_orders_lifecycle,
-    # asof_latest_order_per_event for semantic_dedup_sampled,
-    # doc_repetition_signals for acid_delete_data_skipping, and
-    # deterministic_shuffle / train_val_test_split (the two simplest
-    # hashed-id scan projections, twice-stable) for the late-r5
-    # knn_pq_adc / knn_ivf_pq oracles; all five keep their r3 rows,
-    # exactly at the ≤2-rounds-old contract edge for r5) --
-    "dedup_canonical_corpus",
-    "dedup_exact_documents",
-    "dedup_minhash_near_dup",
-    "knn_brute_force",
-    "decontamination_overlap",
-    "sequence_packing",
-    "boilerplate_token_scrub",
-    # source_mix_draw rotated out for the late-r5 hard_negative_mining
-    # addition (never-driver-checked-first rule; it is the simplest
-    # remaining pick — an RNG-free md5-ranked quota draw, twice-stable).
-    # weighted_systematic_draw rotated out for pca_top_component on the
-    # same rule (the other deterministic draw, equally simple). Both
-    # keep their r3 rows, re-verify r6.
-    # pii_anonymize_customers rotated out for the late-r5
-    # rerank_bm25_candidates addition (never-driver-checked-first rule;
-    # pii is the simplest remaining pick — one map-side projection,
-    # twice-stable). Keeps its r3 row, re-verifies r6.
-    "expectations_orders",
-    "snapshot_diff_orders",
-    # table_profile_events rotated out for bpe_encode_documents (same
-    # rule as above); keeps its r3 row, re-verifies r6.
-    "join_key_skew_profile",
-    # corr_quantity_price_exact / histogram_order_totalprice rotated out
-    # for the r5 bpe_learn_merges / bpe_token_counts additions (same
-    # never-driver-checked-first rule); both keep r3 rows, re-verify r6.
-    "outlier_orders_zscore",
-    "unigram_rarity_scores",
-    # text_token_stats rotated out for acid_change_feed (the newest
-    # never-driver-checked oracle-bearing entry); it keeps its r3 row,
-    # at the ≤2-rounds-old contract edge for r5, re-verified r6.
+    # -- r4-aged re-verification picks (17 of 49, complexity-first;
+    # the 32 left out keep green r4 rows and rotate r7) --
+    "dedup_cluster_assignment",
+    "dedup_embedding_cosine_pairs",
+    "dedup_fingerprint_documents",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_repeated_spans",
+    "dedup_simhash_hamming_pairs",
+    "dedup_simhash_signatures",
+    "semantic_dedup_embeddings",
+    "knn_ivf_deterministic",
+    "bm25_topk_documents",
+    "tfidf_top_terms_per_doc",
+    "pagerank_trade_network",
+    "gopher_quality_filters",
+    "corpus_prep_pipeline",
+    "text_fingerprints",
+    "text_quality_scores",
+    "flagship_between",
 )
 
 
