@@ -263,7 +263,9 @@ def _file_may_match(meta: dict | None, prune: dict | None, prune_eq: dict | None
 class Snapshot:
     version: int
     files: tuple[str, ...]  # live data files, table-root-relative
-    ops: tuple[dict, ...] = field(default=(), repr=False)  # for history()
+    # ops since the replay-start checkpoint ONLY (the resume window);
+    # full history is TransactionalTable.history()
+    ops: tuple[dict, ...] = field(default=(), repr=False)
     # per-live-file add metadata (bytes / rows / optional column stats)
     meta: dict = field(default_factory=dict, repr=False)
     # committed table schema (Spark StructType jsonValue); None before
@@ -901,14 +903,46 @@ class TransactionalTable:
     def history(self) -> list[dict]:
         """Every commit's op record, version-ordered — a deliberate
         full log scan (O(total commits); ~0.4 s at 10k commits). The
-        audit query is rare; keeping full ops out of checkpoints is
-        what keeps the log linear in size (see _maybe_checkpoint)."""
+        audit query is rare and interactive; per-micro-batch callers
+        (the exactly-once streaming sinks) use the incremental
+        :meth:`stream_batch_ids` instead. Keeping full ops out of
+        checkpoints is what keeps the log linear in size (see
+        _maybe_checkpoint)."""
         out: list[dict] = []
         for v in self._versions():
             with open(os.path.join(self.log_path, f"{v:0{_PAD}d}.json")) as fh:
                 entry = json.load(fh)
             out.append({"version": v, **entry.get("op", {})})
         return out
+
+    def stream_batch_ids(self, after_version: int = 0) -> tuple[set, int]:
+        """Batch ids of ``stream_append`` commits STRICTLY NEWER than
+        ``after_version``, plus the highest log version scanned — the
+        incremental unit behind the exactly-once sinks' replay check.
+
+        Re-checking via :meth:`history` before every micro-batch costs
+        one file open + JSON parse per commit PER BATCH (O(n²)
+        cumulative over a long-running stream — exactly the GET-priced
+        unit object stores charge for). Callers cache the returned id
+        set, pass the returned high-water mark back in, and each batch
+        then reads only the commits that landed since the last check
+        (O(1) amortized). Safe because versions are DENSE below the
+        listing's maximum: a writer only retries ``v+1`` after ``v``
+        exists (``_try_create`` races on O_EXCL), so no commit can
+        later appear at or below a version this scan already saw."""
+        ids: set = set()
+        hi = after_version
+        for v in self._versions():
+            if v <= after_version:
+                continue
+            with open(os.path.join(self.log_path, f"{v:0{_PAD}d}.json")) as fh:
+                entry = json.load(fh)
+            op = entry.get("op") or {}
+            if op.get("op") == "stream_append":
+                ids.add(op.get("batch_id"))
+            if v > hi:
+                hi = v
+        return ids, hi
 
     def changes(
         self,

@@ -63,7 +63,21 @@ from data_lake_construction_and_querying_with_pyspark_spark.registry import regi
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
 _PCA_ITERS = 3
-_DIM = 64
+_PCA_TOP_K = 4
+_DIM = 64  # testdata embeddings are FLOAT[64]; library paths infer
+
+
+def _infer_dim(emb: DataFrame) -> int:
+    """Embedding dimensionality from the first row — one cheap job, so
+    the library paths work on any-width vectors instead of failing with
+    an opaque numpy broadcast error on non-64-d input."""
+    row = emb.select(F.size(as_double_vec(F.col("embedding"))).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(
+            "cannot infer embedding dimensionality: table is empty or "
+            "the embedding column's first row is NULL/empty"
+        )
+    return int(row["d"])
 
 
 def gram_matrix_exact(emb: DataFrame) -> DataFrame:
@@ -91,29 +105,48 @@ def gram_matrix_fast(emb: DataFrame) -> "list[list[float]]":
     batches (``mapInPandas``), partials summed driver-side — one corpus
     pass, zero exploded rows, d² doubles per partition crossing to the
     driver. Float-sum order differs from the exact path by design;
-    ``tests/test_pca.py`` pins agreement to ~1e-9 relative."""
+    ``tests/test_pca.py`` pins agreement to ~1e-9 relative.
+
+    Dimensionality is inferred from the data (first Arrow batch per
+    partition); a ragged embedding column fails loudly instead of with
+    a numpy broadcast error deep inside the UDF."""
     import numpy as np
     import pandas as pd
 
     def partial(batches):
-        acc = np.zeros((_DIM, _DIM))
+        acc = None
         for pdf in batches:
             x = np.array(pdf["embedding"].tolist(), dtype="float64")
-            if len(x):
-                acc += x.T @ x
-        yield pd.DataFrame({"g": [acc.ravel().tolist()]})
+            if not len(x):
+                continue
+            if acc is None:
+                acc = np.zeros((x.shape[1], x.shape[1]))
+            elif x.shape[1] != acc.shape[0]:
+                raise ValueError(
+                    f"ragged embedding column: saw dimensions "
+                    f"{acc.shape[0]} and {x.shape[1]} in one partition"
+                )
+            acc += x.T @ x
+        if acc is not None:
+            yield pd.DataFrame({"g": [acc.ravel().tolist()]})
 
     parts = emb.select("embedding").mapInPandas(partial, "g array<double>").collect()
-    import numpy as np  # noqa: F811
-
-    total = np.zeros((_DIM, _DIM))
+    if not parts:
+        raise ValueError("gram_matrix_fast: embedding table is empty")
+    dims = {int(round(len(r["g"]) ** 0.5)) for r in parts}
+    if len(dims) != 1:
+        raise ValueError(
+            f"ragged embedding column: partitions reported dimensions {sorted(dims)}"
+        )
+    d = dims.pop()
+    total = np.zeros((d, d))
     for r in parts:
-        total += np.array(r["g"]).reshape(_DIM, _DIM)
+        total += np.array(r["g"]).reshape(d, d)
     return total.tolist()
 
 
 def pca_power_iteration(
-    spark: SparkSession, emb: DataFrame, iters: int = _PCA_ITERS
+    spark: SparkSession, emb: DataFrame, iters: int = _PCA_ITERS, dim: int | None = None
 ) -> DataFrame:
     """Dominant principal direction of the embedding column by
     ``iters`` fixed power-iteration steps over the exact-decimal Gram
@@ -127,8 +160,20 @@ def pca_power_iteration(
     normalization is one IEEE division per coordinate in Python (==
     DuckDB's double division) — the full chain replays bit-for-bit in
     the oracle."""
+    dim = dim if dim is not None else _infer_dim(emb)
     g = gram_matrix_exact(emb).persist()
-    v = [1.0] * _DIM
+    v, lam = _power_steps(g, dim, iters)
+    g.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, v[i], lam) for i in range(dim)],
+        "dim_idx int, loading double, eigenvalue_maxabs double",
+    )
+
+
+def _power_steps(g: DataFrame, dim: int, iters: int) -> "tuple[list[float], float]":
+    """``iters`` fixed-point power steps over Gram frame ``g`` from the
+    all-ones start; returns (max-abs-normalized v, final max|u|)."""
+    v = [1.0] * dim
     lam = 1.0
     for _ in range(iters):
         vlit = F.array(*[F.lit(float(x)) for x in v])
@@ -139,36 +184,133 @@ def pca_power_iteration(
             .agg((F.sum("t").cast("double") / F.lit(1e9)).alias("uv"))
             .collect()
         )
-        u = [0.0] * _DIM
+        u = [0.0] * dim
         for r in u_rows:
             u[r["i"] - 1] = r["uv"]
         lam = max(abs(x) for x in u)
+        if lam == 0.0:
+            raise ValueError(
+                "power iteration degenerated to the zero vector (all-zero "
+                "Gram after deflation?) — fewer components than requested"
+            )
         v = [x / lam for x in u]
+    return v, lam
+
+
+def pca_top_components(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _PCA_TOP_K,
+    iters: int = _PCA_ITERS,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-``k`` principal directions by power iteration with Hotelling
+    deflation — ``k·dim`` rows ``(component, dim_idx, loading,
+    eigenvalue_maxabs)``, components 1-based in decreasing-eigenvalue
+    order (the real embedding-analysis ask: "how many rogue directions
+    carry the variance?", not just the first).
+
+    Deflation stays inside the cross-engine determinism contract
+    (module docstring): after component ``c`` converges to ``(v, λ)``,
+    the next Gram is ``G' = G − λ·v_i·v_j / (vᵀv)`` cell-wise, where
+    ``vᵀv`` runs on the FLOOR(x²·1e15) integer grid (exact in both
+    engines) and the remaining expression is a fixed-order chain of
+    IEEE multiplies/divides — each correctly rounded identically in
+    Spark, Python, and DuckDB, so every deflated cell is bit-identical
+    and the whole k-component chain replays as CTEs in the oracle.
+
+    Scale shape: unchanged from the single-component path — the corpus
+    is touched once (Gram); each of the ``k·iters`` matvecs and each
+    deflation is a d×d job (d² rows), corpus-independent."""
+    import math
+
+    dim = dim if dim is not None else _infer_dim(emb)
+    g = gram_matrix_exact(emb).persist()
+    rows: list[tuple] = []
+    for comp in range(1, k + 1):
+        v, lam = _power_steps(g, dim, iters)
+        rows.extend((comp, i + 1, v[i], lam) for i in range(dim))
+        if comp < k:
+            # vᵀv on the 1e15 integer grid: exact int sum, then the
+            # same two-step int→double / divide both engines perform
+            c = sum(math.floor((x * x) * 1e15) for x in v) / 1e15
+            vlit = F.array(*[F.lit(float(x)) for x in v])
+            g2 = g.select(
+                "i",
+                "j",
+                (
+                    F.col("gv")
+                    - F.lit(lam)
+                    * F.element_at(vlit, F.col("i"))
+                    * F.element_at(vlit, F.col("j"))
+                    / F.lit(c)
+                ).alias("gv"),
+            ).persist()
+            g2.count()  # materialize before dropping the parent
+            g.unpersist()
+            g = g2
     g.unpersist()
     return spark.createDataFrame(
-        [(i + 1, v[i], lam) for i in range(_DIM)],
-        "dim_idx int, loading double, eigenvalue_maxabs double",
+        rows, "component int, dim_idx int, loading double, eigenvalue_maxabs double"
     )
 
 
-def _oracle_pca(iters: int = _PCA_ITERS, dim: int = _DIM) -> str:
-    """Chained-CTE replay: exact-decimal Gram, then per-iteration
-    matvec (decimal-cut) → max|u| → IEEE-divide normalization."""
-    steps = []
-    prev = "v0"
-    for t in range(1, iters + 1):
-        steps.append(
-            f"""u{t} AS MATERIALIZED (
+def _oracle_pca_topk(
+    k: int = _PCA_TOP_K, iters: int = _PCA_ITERS, dim: int = _DIM
+) -> str:
+    """Chained-CTE replay of the FULL top-k chain: exact-decimal Gram,
+    then per component (iters × (grid matvec → max|u| → IEEE-divide
+    normalization)) followed by the fixed-point Hotelling deflation
+    ``G' = G − mx·v_i·v_j / (vᵀv on the 1e15 grid)`` — every scalar
+    bit-identical to the Spark/driver chain by the module-docstring
+    argument, so the k·dim result rows hash-match exactly."""
+    blocks: list[str] = []
+    selects: list[str] = []
+    prev_g = "g1"
+    for comp in range(1, k + 1):
+        prev = f"v{comp}_0"
+        blocks.append(
+            f"v{comp}_0 AS (SELECT i AS j, 1.0e0 AS vv FROM range(1, {dim + 1}) r(i))"
+        )
+        for t in range(1, iters + 1):
+            blocks.append(
+                f"""u{comp}_{t} AS MATERIALIZED (
         SELECT g.i AS j,
                CAST(SUM(CAST(FLOOR((g.gv * {prev}.vv) * 1e9) AS DECIMAL(38,0)))
                     AS DOUBLE) / 1e9 AS uv
-        FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY g.i
+        FROM {prev_g} g JOIN {prev} ON g.j = {prev}.j GROUP BY g.i
     ),
-    m{t} AS (SELECT MAX(ABS(uv)) AS mx FROM u{t}),
-    v{t} AS MATERIALIZED (SELECT j, uv / mx AS vv FROM u{t}, m{t})"""
+    m{comp}_{t} AS (SELECT MAX(ABS(uv)) AS mx FROM u{comp}_{t}),
+    v{comp}_{t} AS MATERIALIZED (SELECT j, uv / mx AS vv FROM u{comp}_{t}, m{comp}_{t})"""
+            )
+            prev = f"v{comp}_{t}"
+        selects.append(
+            f"""SELECT CAST({comp} AS INT) AS component,
+           CAST(v{comp}_{iters}.j AS INT) AS dim_idx,
+           v{comp}_{iters}.vv AS loading,
+           m{comp}_{iters}.mx AS eigenvalue_maxabs
+    FROM v{comp}_{iters}, m{comp}_{iters}"""
         )
-        prev = f"v{t}"
-    chain = ",\n    ".join(steps)
+        if comp < k:
+            blocks.append(
+                f"""c{comp} AS (
+        SELECT CAST(SUM(CAST(FLOOR((vv * vv) * 1e15) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1e15 AS c
+        FROM v{comp}_{iters}
+    ),
+    g{comp + 1} AS MATERIALIZED (
+        SELECT g.i AS i, g.j AS j,
+               g.gv - m.mx * a.vv * b.vv / c.c AS gv
+        FROM {prev_g} g
+        JOIN v{comp}_{iters} a ON a.j = g.i
+        JOIN v{comp}_{iters} b ON b.j = g.j
+        CROSS JOIN m{comp}_{iters} m
+        CROSS JOIN c{comp} c
+    )"""
+            )
+            prev_g = f"g{comp + 1}"
+    chain = ",\n    ".join(blocks)
+    union = "\n    UNION ALL\n    ".join(selects)
     return f"""
     WITH xs AS MATERIALIZED (
         SELECT vec_id,
@@ -176,28 +318,29 @@ def _oracle_pca(iters: int = _PCA_ITERS, dim: int = _DIM) -> str:
                unnest(embedding::DOUBLE[]) AS x
         FROM embeddings
     ),
-    g AS MATERIALIZED (
+    g1 AS MATERIALIZED (
         SELECT a.i AS i, b.i AS j,
                CAST(SUM(CAST(FLOOR((a.x * b.x) * 1e15) AS DECIMAL(38,0)))
                     AS DOUBLE) / 1e15 AS gv
         FROM xs a JOIN xs b ON a.vec_id = b.vec_id
         GROUP BY a.i, b.i
     ),
-    v0 AS (SELECT i AS j, 1.0e0 AS vv FROM range(1, {dim + 1}) r(i)),
     {chain}
-    SELECT CAST(v{iters}.j AS INT) AS dim_idx,
-           v{iters}.vv AS loading,
-           m{iters}.mx AS eigenvalue_maxabs
-    FROM v{iters}, m{iters}
+    {union}
     """
 
 
-@register("pca_top_component", oracle=_oracle_pca())
+@register("pca_top_component", oracle=_oracle_pca_topk())
 def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant principal direction of the embeddings table (3 power
-    iterations, max-abs normalization — see module docstring for the
-    determinism contract). 64 rows (dim_idx, loading,
+    """Top-4 principal directions of the embeddings table (3 power
+    iterations per component, max-abs normalization, fixed-point
+    Hotelling deflation between components — module docstring for the
+    determinism contract). 256 rows (component, dim_idx, loading,
     eigenvalue_maxabs); the DuckDB oracle replays Gram + every
-    iteration as chained CTEs, hash-exact."""
+    iteration + every deflation as chained CTEs, hash-exact.
+
+    Redefined r6 (was: component 1 only) per VERDICT r5 directive #4 —
+    same slot, same family, the result contract grew a ``component``
+    column; the slot re-entered the driver window at redefinition."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_power_iteration(spark, emb)
+    return pca_top_components(spark, emb)

@@ -320,7 +320,7 @@ def cross_feature_columns() -> dict[str, "F.Column"]:
     """The deterministic joint query×document features, as named Spark
     columns over a frame carrying ``text`` — exact integer arithmetic
     only, so Spark and DuckDB agree bit-for-bit (no floats, no NULLs:
-    absent terms use the {_ABSENT} sentinel instead of NULL so
+    absent terms use the ``_ABSENT`` sentinel (2**40) instead of NULL so
     LEAST/GREATEST semantics never enter the contract)."""
     tk = _toks()
     pos = [F.array_position(tk, t) for t in _QUERY_TERMS]

@@ -561,12 +561,22 @@ class _AcidStreamWriter(_AcidWriterCore, DataSourceStreamArrowWriter):
 
         adds = self._gather(messages)
         table = TransactionalTable(self.root)
+        # Incremental replay check (same move as streaming_acid_append):
+        # the writer instance lives for the whole run on the driver, so
+        # cache the committed batch-id set and only scan commits newer
+        # than the high-water mark — not one full history() log scan
+        # per micro-batch. A fresh instance (checkpoint restart) pays
+        # one full scan, then goes incremental.
+        if not hasattr(self, "_seen_batch_ids"):
+            self._seen_batch_ids: set = set()
+            self._seen_version = 0
 
         def committed() -> bool:
-            return any(
-                o.get("op") == "stream_append" and o.get("batch_id") == batchId
-                for o in table.history()
+            new_ids, self._seen_version = table.stream_batch_ids(
+                after_version=self._seen_version
             )
+            self._seen_batch_ids |= new_ids
+            return batchId in self._seen_batch_ids
 
         if committed():
             self._abandon(adds)

@@ -318,10 +318,18 @@ def streaming_acid_append(
 
     table = TransactionalTable.create(table_root)
 
+    # Incremental replay check: cache the committed batch-id set and
+    # only scan log versions newer than the last one seen — a
+    # history() call per micro-batch re-reads EVERY commit file each
+    # time (O(n) GETs per batch, O(n²) over the stream's life on the
+    # object stores docs/SCALING.md costs out); the cache makes the
+    # steady-state cost one directory listing + the new commits only.
+    _seen = {"ids": set(), "hi": 0}
+
     def _committed_batches() -> set:
-        return {
-            o.get("batch_id") for o in table.history() if o.get("op") == "stream_append"
-        }
+        new_ids, _seen["hi"] = table.stream_batch_ids(after_version=_seen["hi"])
+        _seen["ids"] |= new_ids
+        return _seen["ids"]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # the batch id rides INSIDE the atomic commit entry (not a

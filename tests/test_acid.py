@@ -705,3 +705,41 @@ def test_checkpoints_build_incrementally_without_ops(table):
     hist = table.history()
     assert [h["version"] for h in hist] == list(range(1, n + 1))
     assert all(h["operation"] in ("append",) for h in hist)
+
+
+def test_stream_batch_ids_incremental(table):
+    """The exactly-once sinks' replay check is INCREMENTAL: a scan from
+    the cached high-water mark opens only the commits that landed since
+    (the ADVICE r5 O(n²)-per-stream fix), returns exactly the new
+    stream_append batch ids, and composes to the full set."""
+    for v in range(1, 6):
+        op = (
+            {"op": "stream_append", "batch_id": v * 10}
+            if v % 2
+            else {"op": "append"}
+        )
+        assert table._try_create(v, {"add": [], "op": op})
+
+    ids, hi = table.stream_batch_ids()
+    assert ids == {10, 30, 50} and hi == 5
+
+    # no new commits: nothing scanned, mark unchanged
+    ids2, hi2 = table.stream_batch_ids(after_version=hi)
+    assert ids2 == set() and hi2 == 5
+
+    # two more commits: only the delta comes back
+    assert table._try_create(6, {"add": [], "op": {"op": "stream_append", "batch_id": 60}})
+    assert table._try_create(7, {"add": [], "op": {"op": "append"}})
+    ids3, hi3 = table.stream_batch_ids(after_version=hi)
+    assert ids3 == {60} and hi3 == 7
+
+    # the incremental scan must not OPEN old commit files: make them
+    # unreadable and re-scan from the mark
+    for v in range(1, 8):
+        os.chmod(os.path.join(table.log_path, f"{v:020d}.json"), 0o000)
+    try:
+        ids4, hi4 = table.stream_batch_ids(after_version=7)
+        assert ids4 == set() and hi4 == 7
+    finally:
+        for v in range(1, 8):
+            os.chmod(os.path.join(table.log_path, f"{v:020d}.json"), 0o644)

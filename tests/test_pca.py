@@ -42,17 +42,32 @@ def test_gram_fast_matches_exact(spark, emb):
 
 def test_power_iteration_shape_and_normalization(spark, queries):
     rows = queries["pca_top_component"](spark, SF_SMOKE).collect()
-    assert len(rows) == 64
-    loadings = [r.loading for r in rows]
-    lams = {r.eigenvalue_maxabs for r in rows}
-    assert len(lams) == 1 and lams.pop() > 0
-    assert max(abs(x) for x in loadings) == 1.0  # max-abs normalization
+    assert len(rows) == 4 * 64
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert sorted(by_comp) == [1, 2, 3, 4]
+    lams = []
+    for comp, cr in sorted(by_comp.items()):
+        assert len(cr) == 64
+        comp_lams = {r.eigenvalue_maxabs for r in cr}
+        assert len(comp_lams) == 1
+        lam = comp_lams.pop()
+        assert lam > 0
+        lams.append(lam)
+        assert max(abs(r.loading) for r in cr) == 1.0  # max-abs normalization
+    # every eigenvalue estimate sits inside the true spectral range
+    # (the testdata's spectrum is nearly FLAT — 14.4, 13.5, 12.9, … —
+    # so 3 fixed iterations cannot order the estimates; strict
+    # monotone recovery is pinned on a planted anisotropic corpus in
+    # test_topk_recovers_planted_directions instead)
+    assert all(0 < lam < 1.2 * max(lams) for lam in lams)
 
 
 def test_power_iteration_raises_rayleigh_quotient(spark, emb, queries):
     """Each power step is monotone in the Rayleigh quotient for a
-    symmetric PSD matrix — the output direction must explain at least
-    as much variance as the all-ones start (strictly more on any
+    symmetric PSD matrix — component 1 must explain at least as much
+    variance as the all-ones start (strictly more on any
     non-degenerate corpus)."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.pca import (
         gram_matrix_fast,
@@ -60,7 +75,8 @@ def test_power_iteration_raises_rayleigh_quotient(spark, emb, queries):
 
     g = np.array(gram_matrix_fast(emb))
     out = sorted(
-        queries["pca_top_component"](spark, SF_SMOKE).collect(),
+        (r for r in queries["pca_top_component"](spark, SF_SMOKE).collect()
+         if r.component == 1),
         key=lambda r: r.dim_idx,
     )
     v = np.array([r.loading for r in out])
@@ -70,6 +86,101 @@ def test_power_iteration_raises_rayleigh_quotient(spark, emb, queries):
         return float(x @ g @ x / (x @ x))
 
     assert rayleigh(v) >= rayleigh(v0) * (1 - 1e-12)
+
+
+def test_topk_matches_numpy_replay(spark, emb, queries):
+    """The distributed top-k chain (fixed-point grid sums + Hotelling
+    deflation) agrees with a plain-float numpy replay of the SAME
+    algorithm to quantization noise — pins the deflation arithmetic
+    itself, independent of the oracle (identical-wrong-pair
+    argument)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.pca import (
+        gram_matrix_fast,
+    )
+
+    g = np.array(gram_matrix_fast(emb))
+    want = {}
+    for comp in range(1, 5):
+        v = np.ones(64)
+        for _ in range(3):
+            u = g @ v
+            lam = float(np.abs(u).max())
+            v = u / lam
+        want[comp] = (v, lam)
+        g = g - lam * np.outer(v, v) / float(v @ v)
+
+    rows = queries["pca_top_component"](spark, SF_SMOKE).collect()
+    for comp in range(1, 5):
+        got = sorted((r for r in rows if r.component == comp), key=lambda r: r.dim_idx)
+        v, lam = want[comp]
+        assert np.allclose([r.loading for r in got], v, rtol=1e-6, atol=1e-9), comp
+        assert abs(got[0].eigenvalue_maxabs - lam) <= 1e-6 * abs(lam), comp
+
+
+def test_power_iteration_infers_non64_dim(spark):
+    """The library paths are dimension-agnostic (ADVICE r5): a 8-d
+    embedding column runs end-to-end instead of dying on a numpy
+    broadcast; gram_matrix_fast infers the width too."""
+    import pyspark.sql.functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.pca import (
+        gram_matrix_fast,
+        pca_top_components,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (j + 1) % 7).cast("double") for j in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    g = np.array(gram_matrix_fast(df))
+    assert g.shape == (8, 8)
+    out = pca_top_components(spark, df, k=2).collect()
+    assert len(out) == 2 * 8
+
+
+def test_topk_recovers_planted_directions(spark):
+    """On an ANISOTROPIC corpus (two planted orthogonal directions at
+    scales 40 and 12 over unit noise) the top-2 components recover the
+    planted axes in order, and their eigenvalue estimates are strictly
+    decreasing — the spectral behavior the flat testdata can't
+    exercise."""
+    import pyspark.sql.functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.pca import (
+        pca_top_components,
+    )
+
+    # deterministic pseudo-noise + two strong axes (dims 5 and 11)
+    noise = [
+        (F.pmod(F.col("id") * (j + 13) * 2654435761, F.lit(97)).cast("double") / 97.0)
+        for j in range(16)
+    ]
+    # two UNCORRELATED ±1 patterns: parity of id and parity of id//2
+    # (a multiplier mod 2 is just id's parity — same sign pattern)
+    a = (F.pmod(F.col("id"), F.lit(2)) * 2 - 1).cast("double")
+    b = (F.pmod(F.floor(F.col("id") / 2), F.lit(2)) * 2 - 1).cast("double")
+    cols = [
+        (noise[j] + a * 40.0) if j == 5 else (noise[j] + b * 12.0) if j == 11 else noise[j]
+        for j in range(16)
+    ]
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+    )
+    rows = pca_top_components(spark, df, k=2, iters=3).collect()
+    comp = {c: sorted((r for r in rows if r.component == c), key=lambda r: r.dim_idx)
+            for c in (1, 2)}
+    lam1 = comp[1][0].eigenvalue_maxabs
+    lam2 = comp[2][0].eigenvalue_maxabs
+    assert lam1 > lam2 > 0
+    v1 = np.array([r.loading for r in comp[1]])
+    v2 = np.array([r.loading for r in comp[2]])
+    assert np.argmax(np.abs(v1)) == 5  # dominant axis found first
+    assert np.argmax(np.abs(v2)) == 11  # deflation exposes the second
+    # deflated component is (near-)orthogonal to the first
+    cos = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert cos < 0.05
 
 
 @pytest.fixture(scope="module")
