@@ -83,6 +83,38 @@ def main() -> None:
         spark._jvm.System.gc()
         time.sleep(0.3)
 
+    # Host-state yardstick (VERDICT r5 #8): a fixed-work probe measured
+    # the same way as the queries (settle + best-of-2), so any round's
+    # suite total can be read as a RATIO against the same run's
+    # calibration instead of cross-day archaeology — r5 spent half its
+    # bench adjudication reconstructing whether a 1.5× total was a
+    # regression or a slow box (it was the box; per-query swings of ±3×
+    # run-to-run on unchanged code). Two fixed components: a pinned
+    # single-thread pure-Python xorshift loop (CPU clock/contention)
+    # and a constant 8M-row range→hash-agg Spark job (JVM/codegen/
+    # shuffle fixed cost) — both independent of SF and of the repo's
+    # operators.
+    def calibration_once() -> float:
+        t0 = time.time()
+        x = 88172645463325252
+        for _ in range(2_000_000):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        df = (
+            spark.range(0, 8_000_000, 1, 32)
+            .select((F.col("id") % 9973).alias("k"), F.col("id").alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+        )
+        run(df)
+        return time.time() - t0
+
+    calib = float("inf")
+    for _ in range(2):
+        settle()
+        calib = min(calib, calibration_once())
+
     # Best-of-2 per query: the first execution of each operator family
     # JIT-compiles its codegen paths; the second run measures the
     # engine. Single-run numbers vary ±30% on this box.
@@ -107,6 +139,7 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
+                "calibration_seconds": round(calib, 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
     as_double_vec,
+    dot,
 )
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
@@ -253,6 +254,77 @@ def pca_top_components(
     return spark.createDataFrame(
         rows, "component int, dim_idx int, loading double, eigenvalue_maxabs double"
     )
+
+
+def components_as_vectors(rows) -> "list[list[float]]":
+    """Collected ``pca_top_components`` rows → ordered loading vectors
+    (component 1 first) for :func:`pca_project` /
+    :func:`pca_remove_components`."""
+    by_comp: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], {})[r["dim_idx"]] = r["loading"]
+    return [
+        [by_comp[c][i] for i in sorted(by_comp[c])] for c in sorted(by_comp)
+    ]
+
+
+def pca_project(
+    emb: DataFrame, components: "list[list[float]]", vec_col: str = "embedding"
+) -> DataFrame:
+    """Append per-component scores ``pc1..pck`` — the normalized
+    projection ``(x·v_c) / ‖v_c‖`` of each embedding onto each
+    component, as pure JVM expressions (the dot folds in whole-stage
+    codegen; the components ride as array literals — k·d doubles, the
+    BPE-literal move, no broadcast, no UDF). This is the corpus-level
+    "score every document against the variance directions" pass a
+    100 TB pipeline runs as one scan."""
+    import math
+
+    out = emb
+    x = as_double_vec(F.col(vec_col))
+    for c, v in enumerate(components, start=1):
+        nrm = math.sqrt(sum(t * t for t in v))
+        vlit = F.array(*[F.lit(float(t)) for t in v])
+        out = out.withColumn(f"pc{c}", dot(x, vlit) / F.lit(nrm))
+    return out
+
+
+def pca_remove_components(
+    emb: DataFrame, components: "list[list[float]]", vec_col: str = "embedding"
+) -> DataFrame:
+    """Dominant-direction removal (the "all-but-the-top" post-process,
+    Mu & Viswanath 2018, ICLR — public method): replace the embedding
+    with ``x − Σ_c ((x·v_c)/(v_c·v_c))·v_c``, i.e. project out the
+    top components the corpus-level PCA found. Anisotropy ("90% of the
+    variance is one rogue direction") is the standard failure mode of
+    sentence embeddings before cosine retrieval; this is the one-scan
+    fix. All JVM: per component one fold dot + one ``zip_with`` — no
+    UDF, no shuffle, column-pruned like any projection.
+
+    The removed thing is the SPAN of ``components``: power-iteration
+    estimates on a flat spectrum are not mutually orthogonal, so the
+    vectors are Gram-Schmidt-orthogonalized driver-side (k tiny
+    vectors) before the sequential projections — after removal the
+    corpus has zero projection on EVERY input component, not just the
+    last one processed."""
+    basis: list[list[float]] = []
+    for v in components:
+        w = list(map(float, v))
+        for b in basis:
+            coef = sum(x * y for x, y in zip(w, b)) / sum(x * x for x in b)
+            w = [x - coef * y for x, y in zip(w, b)]
+        if sum(x * x for x in w) > 1e-24:  # drop directions already spanned
+            basis.append(w)
+    out = emb
+    for v in basis:
+        vv = sum(t * t for t in v)
+        vlit = F.array(*[F.lit(float(t)) for t in v])
+        x = as_double_vec(F.col(vec_col))
+        coef = dot(x, vlit) / F.lit(float(vv))
+        out = out.withColumn(
+            vec_col, F.zip_with(x, vlit, lambda xi, vi: xi - coef * vi)
+        )
+    return out
 
 
 def _oracle_pca_topk(

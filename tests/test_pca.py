@@ -188,3 +188,34 @@ def queries():
     from data_lake_construction_and_querying_with_pyspark_spark.registry import all_queries
 
     return all_queries()
+
+
+def test_project_and_remove_components(spark, emb, queries):
+    """pca_project scores match numpy (x·v/‖v‖); after
+    pca_remove_components the corpus has ~zero projection on the
+    removed directions but keeps its other structure (norms shrink,
+    don't vanish) — all as JVM expressions, no UDF."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.pca import (
+        components_as_vectors,
+        pca_project,
+        pca_remove_components,
+    )
+
+    rows = [r.asDict() for r in queries["pca_top_component"](spark, SF_SMOKE).collect()]
+    comps = components_as_vectors(rows)
+    assert len(comps) == 4 and all(len(v) == 64 for v in comps)
+
+    scored = pca_project(emb, comps[:2]).limit(50).collect()
+    for r in scored:
+        x = np.array(r.embedding, dtype="float64")
+        for c in (1, 2):
+            v = np.array(comps[c - 1])
+            assert abs(r[f"pc{c}"] - float(x @ v) / np.linalg.norm(v)) < 1e-9
+
+    cleaned = pca_remove_components(emb, comps[:2])
+    chk = pca_project(cleaned, comps[:2]).select("pc1", "pc2", "embedding").collect()
+    orig_norm = np.mean([np.linalg.norm(r.embedding) for r in scored])
+    resid = np.mean([np.linalg.norm(r.embedding) for r in chk])
+    assert max(abs(r.pc1) for r in chk) < 1e-9
+    assert max(abs(r.pc2) for r in chk) < 1e-9
+    assert 0.1 * orig_norm < resid < orig_norm  # structure survives
