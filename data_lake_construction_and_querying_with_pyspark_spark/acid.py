@@ -66,6 +66,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_txn_log"
+_LAST_CP = "_last_checkpoint"  # newest-checkpoint pointer (Delta paper §4.2)
 DATA_DIR = "data"
 CHECKPOINT_EVERY = 10
 _PAD = 20
@@ -311,6 +312,42 @@ class TransactionalTable:
             if f.endswith(".json") and not f.endswith(".checkpoint.json")
         )
 
+    def _read_last_checkpoint(self) -> tuple[int, dict] | None:
+        """The Delta paper's ``_last_checkpoint`` pointer (§4.2 of
+        Armbrust et al. 2020, VLDB): ONE fixed-name read that seeks a
+        reader to the newest checkpoint without listing the log
+        directory — on an object store a LIST over a 10k-commit log is
+        the expensive unit; the pointer makes head loads
+        O(commits since last checkpoint) file GETs flat. Returns
+        ``(version, state)`` or None (pointer absent — pre-pointer
+        table or no checkpoint yet — or unreadable mid-replace; the
+        caller falls back to the listing path, so the pointer is an
+        optimization, never a correctness dependency)."""
+        try:
+            with open(os.path.join(self.log_path, _LAST_CP)) as fh:
+                v = int(json.load(fh)["version"])
+            with open(
+                os.path.join(self.log_path, f"{v:0{_PAD}d}.checkpoint.json")
+            ) as fh:
+                return v, json.load(fh)
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _probe_versions_after(self, start: int) -> list[int]:
+        """Commit versions strictly after ``start`` by forward
+        existence probes — O(new commits) file touches, ZERO directory
+        listings. Sound because versions are DENSE: a writer only
+        creates ``v+1`` after ``v`` exists (``_try_create`` races on
+        the hard-link EEXIST), and commit files are never deleted
+        (vacuum touches data files only), so the first missing name is
+        the head."""
+        out: list[int] = []
+        v = start + 1
+        while os.path.exists(os.path.join(self.log_path, f"{v:0{_PAD}d}.json")):
+            out.append(v)
+            v += 1
+        return out
+
     def _latest_checkpoint(
         self, max_version: int | None = None
     ) -> tuple[int, dict] | None:
@@ -341,16 +378,34 @@ class TransactionalTable:
         actually needs. Full history is :meth:`history`, which scans
         the whole log deliberately (checkpoints carrying the complete
         ops list made every checkpoint O(version) bytes — 266 MB of
-        log dir at 10k tiny commits, quadratic in total)."""
-        versions = self._versions()
-        if version is not None:
-            versions = [v for v in versions if v <= version]
+        log dir at 10k tiny commits, quadratic in total).
+
+        Head loads (``version=None``) take the ``_last_checkpoint``
+        pointer fast path: one pointer read, one checkpoint read, then
+        forward existence probes — no directory listing at all
+        (``test_head_snapshot_never_lists_the_log``). Time travel
+        falls back to the listing path: it needs the newest checkpoint
+        AT OR BELOW an arbitrary version, which only a listing (or a
+        prefix-bounded LIST on a real object store) answers."""
+        cp = None
+        versions: list[int] | None = None
+        if version is None:
+            cp = self._read_last_checkpoint()
+            if cp is not None:
+                versions = self._probe_versions_after(cp[0])
+        if versions is None:
+            all_versions = self._versions()
+            versions = (
+                [v for v in all_versions if v <= version]
+                if version is not None
+                else all_versions
+            )
+            cp = self._latest_checkpoint(max_version=version)
         live: set[str] = set()
         meta: dict = {}
         ops: list[dict] = []
         schema: dict | None = None
         start = 0
-        cp = self._latest_checkpoint(max_version=version)
         if cp:
             start, state = cp
             live = set(state["files"])
@@ -372,7 +427,7 @@ class TransactionalTable:
                 schema = entry["schema"]
             ops.append({"version": v, **entry.get("op", {})})
         return Snapshot(
-            version=versions[-1] if versions else 0,
+            version=versions[-1] if versions else start,
             files=tuple(sorted(live)),
             ops=tuple(ops),
             meta=meta,
@@ -431,6 +486,13 @@ class TransactionalTable:
                 fh,
             )
         os.replace(tmp, os.path.join(self.log_path, f"{version:0{_PAD}d}.checkpoint.json"))
+        # the Delta-paper _last_checkpoint pointer: readers seek here
+        # instead of listing the log dir (atomic replace; a reader that
+        # catches the table pre-replace just uses the previous pointer)
+        ptr_tmp = os.path.join(self.log_path, f".lastcp-{uuid.uuid4().hex}.tmp")
+        with open(ptr_tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(ptr_tmp, os.path.join(self.log_path, _LAST_CP))
 
     # -- data-file staging ---------------------------------------------
 
@@ -929,12 +991,16 @@ class TransactionalTable:
         (O(1) amortized). Safe because versions are DENSE below the
         listing's maximum: a writer only retries ``v+1`` after ``v``
         exists (``_try_create`` races on O_EXCL), so no commit can
-        later appear at or below a version this scan already saw."""
+        later appear at or below a version this scan already saw.
+
+        r7: the scan forward-PROBES from the mark instead of listing
+        the directory (``_probe_versions_after`` — same density
+        argument), so a micro-batch's replay check is O(new commits)
+        file touches with zero LISTs, matching the snapshot() pointer
+        fast path."""
         ids: set = set()
         hi = after_version
-        for v in self._versions():
-            if v <= after_version:
-                continue
+        for v in self._probe_versions_after(after_version):
             with open(os.path.join(self.log_path, f"{v:0{_PAD}d}.json")) as fh:
                 entry = json.load(fh)
             op = entry.get("op") or {}

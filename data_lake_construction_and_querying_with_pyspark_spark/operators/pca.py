@@ -256,6 +256,52 @@ def pca_top_components(
     )
 
 
+def pca_top_components_fast(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _PCA_TOP_K,
+    iters: int = _PCA_ITERS,
+) -> DataFrame:
+    """Production twin of :func:`pca_top_components`: one corpus pass
+    (:func:`gram_matrix_fast` — per-partition numpy ``Xᵀ·X`` over Arrow
+    batches, d² doubles to the driver) followed by the SAME power-
+    iteration + Hotelling-deflation recipe run driver-side in numpy
+    (all-ones start, max-|u| normalization, ``G' = G − λ·v·vᵀ/(vᵀv)``)
+    — O(k·iters·d²) driver flops on a d×d matrix, corpus-independent.
+
+    The registered entry keeps the fixed-point explode-join chain for
+    bit-exact DuckDB replay; THIS is the shape a 100 TB corpus runs.
+    Float-sum order differs from the fixed-point grid by design;
+    ``tests/test_pca.py`` pins agreement to the exact path on the
+    fixture to ~1e-6 relative after sign alignment. Same output
+    contract: k·d rows (component, dim_idx, loading,
+    eigenvalue_maxabs), components in extraction order."""
+    import numpy as np
+
+    g = np.array(gram_matrix_fast(emb), dtype="float64")
+    dim = g.shape[0]
+    rows: list[tuple] = []
+    for comp in range(1, k + 1):
+        v = np.ones(dim)
+        lam = 1.0
+        for _ in range(iters):
+            u = g @ v
+            lam = float(np.abs(u).max())
+            if lam == 0.0:
+                raise ValueError(
+                    "power iteration degenerated to the zero vector "
+                    "(all-zero Gram after deflation?) — fewer components "
+                    "than requested"
+                )
+            v = u / lam
+        rows.extend((comp, i + 1, float(v[i]), lam) for i in range(dim))
+        if comp < k:
+            g = g - lam * np.outer(v, v) / float(v @ v)
+    return spark.createDataFrame(
+        rows, "component int, dim_idx int, loading double, eigenvalue_maxabs double"
+    )
+
+
 def components_as_vectors(rows) -> "list[list[float]]":
     """Collected ``pca_top_components`` rows → ordered loading vectors
     (component 1 first) for :func:`pca_project` /
@@ -415,4 +461,15 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     same slot, same family, the result contract grew a ``component``
     column; the slot re-entered the driver window at redefinition."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_top_components(spark, emb)
+    # The oracle CTE chain is generated at dim=_DIM, so the fixture
+    # width is a hard contract here (library paths infer instead —
+    # use pca_top_components/_fast directly on other-width vectors).
+    d = _infer_dim(emb)
+    if d != _DIM:
+        raise ValueError(
+            f"pca_top_component registered entry expects the fixture's "
+            f"{_DIM}-wide embeddings (its DuckDB oracle is generated at "
+            f"dim={_DIM}); got dim={d} — call pca_top_components(...) "
+            f"directly for arbitrary-width vectors"
+        )
+    return pca_top_components(spark, emb, dim=d)

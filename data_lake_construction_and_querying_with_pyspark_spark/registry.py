@@ -74,76 +74,73 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-6 rotation (VERDICT r5 directive #1 — rotation debt, no new
-# registrations): ALL 32 oracle-bearing entries whose latest driver row
-# is r3 (they hit the "no row older than 2 rounds" contract edge this
-# round — the 20 deferred at r5 rotation plus the entries swapped out
-# for late-r5 never-checked additions), then pca_top_component (its r5
-# row is fresh, but the r6 top-k redefinition changes the result
-# contract, so the new definition needs a driver row), then 17
-# complexity-prioritized picks from the 49 r4-aged entries (the
-# dedup/ANN/retrieval ladder over twice-stable pure-SQL packs). The 32
-# r4-aged entries left out each keep a green r4 row — exactly 2 rounds
-# old at r6, inside the contract — and rotate into r7's window (32 + 18
-# of the 50 r5-aged rows keeps the cycle sustainable: 131 oracles /
-# 50 slots needs every entry re-checked at least every 3rd round).
+# Round-7 rotation (VERDICT r6 directive #2 — pay the window exactly as
+# the r6 plan stated, no new registrations): ALL 32 oracle-bearing
+# entries whose latest driver row is r4 (they hit the "no row older
+# than 2 rounds" contract edge this round — the complexity-deprioritized
+# picks the r6 rotation deferred), then 18 complexity-prioritized picks
+# from the 49 r5-aged entries (the ACID/BPE/dedup-canonical/ANN/
+# retrieval ladder over twice-stable pure-SQL packs). The 31 r5-aged
+# entries left out each keep a green r5 row — exactly 2 rounds old at
+# r7, inside the contract — and form r8's base (31 + 19 of the 50
+# r6-aged rows keeps the cycle sustainable: 131 oracles / 50 slots
+# needs every entry re-checked at least every 3rd round).
 # Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- r3-aged, contract edge this round: all 32 --
-    "asof_latest_order_per_event",
-    "corr_quantity_price_exact",
-    "customer_order_distribution_q13",
-    "deterministic_shuffle",
-    "disjunctive_predicates_q19",
-    "doc_repetition_signals",
-    "dominant_supplier_q20",
-    "event_transition_counts",
-    "events_click_purchase_pairs",
-    "events_cusum_drift",
-    "events_hourly_rollup",
-    "forecast_revenue_q6",
-    "histogram_order_totalprice",
-    "join_fact_fact_revenue",
-    "large_volume_customers_q18",
-    "late_shipper_q21",
-    "order_priority_checking_q4",
-    "parts_supplier_counts_q16",
-    "pii_anonymize_customers",
-    "promo_revenue_share_q14",
-    "recursive_transition_paths",
-    "returned_item_reporting_q10",
-    "sales_opportunity_q22",
-    "shipping_latency_priority_q12",
-    "small_quantity_revenue_q17",
-    "source_mix_draw",
-    "table_profile_events",
-    "text_token_stats",
-    "top_supplier_q15",
-    "train_val_test_split",
-    "unpivot_lineitem_measures",
-    "weighted_systematic_draw",
-    # -- redefined this round (top-k deflation; new result contract) --
-    "pca_top_component",
-    # -- r4-aged re-verification picks (17 of 49, complexity-first;
-    # the 32 left out keep green r4 rows and rotate r7) --
-    "dedup_cluster_assignment",
-    "dedup_embedding_cosine_pairs",
-    "dedup_fingerprint_documents",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_repeated_spans",
-    "dedup_simhash_hamming_pairs",
-    "dedup_simhash_signatures",
-    "semantic_dedup_embeddings",
-    "knn_ivf_deterministic",
-    "bm25_topk_documents",
-    "tfidf_top_terms_per_doc",
-    "pagerank_trade_network",
-    "gopher_quality_filters",
-    "corpus_prep_pipeline",
-    "text_fingerprints",
-    "text_quality_scores",
-    "flagship_between",
+    # -- r4-aged, contract edge this round: all 32 --
+    "array_ops_embeddings",
+    "case_when_price_buckets",
+    "cheapest_supplier_per_part",
+    "cohort_retention",
+    "date_functions_pack",
+    "distinct_flag_status",
+    "edit_distance_similar_parts",
+    "events_gap_fill_resample",
+    "events_sliding_windows",
+    "events_user_sessions",
+    "funnel_conversion",
+    "important_parts_q11",
+    "in_subquery_urgent_customers",
+    "jsonl_roundtrip_documents",
+    "lateral_explode_top_tokens",
+    "orc_roundtrip_customer",
+    "percentiles_by_segment",
+    "pricing_summary",
+    "product_profit_q9",
+    "range_join_quantity_band",
+    "scalar_subquery_above_avg",
+    "set_except_priorities",
+    "set_intersect_priorities",
+    "set_union_priorities",
+    "string_functions_pack",
+    "text_chunk_windows",
+    "text_language_id",
+    "two_nation_trade_q7",
+    "union_by_name_projections",
+    "window_order_gap_days",
+    "window_rank_pack",
+    "window_trailing_30day_spend",
+    # -- r5-aged re-verification picks (18 of 49, complexity-first;
+    # the 31 left out keep green r5 rows and rotate r8) --
+    "acid_orders_lifecycle",
+    "acid_delete_data_skipping",
+    "acid_change_feed",
+    "bpe_learn_merges",
+    "bpe_encode_documents",
+    "bpe_token_counts",
+    "dedup_canonical_corpus",
+    "dedup_canonical_corpus_embeddings",
+    "dedup_minhash_near_dup",
+    "decontamination_overlap",
+    "hard_negative_mining",
+    "knn_brute_force",
+    "knn_graph_top1",
+    "knn_graph_topk",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "rerank_bm25_candidates",
+    "semantic_dedup_sampled",
 )
 
 
@@ -188,17 +185,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import graph  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import lake_acid  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import pca  # noqa: F401
-    from data_lake_construction_and_querying_with_pyspark_spark.streaming.windows import (
-        streaming_hourly_rollup_query,
-    )
-
-    if "streaming_hourly_rollup" not in QUERIES:
-        QUERIES["streaming_hourly_rollup"] = QuerySpec(
-            name="streaming_hourly_rollup",
-            fn=streaming_hourly_rollup_query,
-            oracle=None,
-            doc="Structured Streaming hourly rollup drained via availableNow (rows-only).",
-        )
+    # registers streaming_hourly_rollup at module level like every
+    # other entry (r7: the lazy special-case here made the registered
+    # count method-dependent — 138 from bare module imports vs 139
+    # from all_queries() — which tripped the r6 advisor's recount)
+    from data_lake_construction_and_querying_with_pyspark_spark.streaming import windows  # noqa: F401
 
     return {name: spec.fn for name, spec in _ordered().items()}
 

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -84,6 +86,10 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+@register(
+    "streaming_hourly_rollup",
+    doc="Structured Streaming hourly rollup drained via availableNow (rows-only).",
+)
 def streaming_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable streaming entry (rows-only): materialize the
     events table with µs timestamps, run the watermarked hourly rollup

@@ -1,0 +1,203 @@
+"""The 10M-doc rung (VERDICT r6 directives #1, #3, #6) — the last
+extrapolated claims in the scale story, measured.
+
+Sequential, results streamed one JSON line per measurement to
+``docs/rung10m_r7.jsonl`` (flushed as each lands, so a wall-clock
+overrun preserves everything finished):
+
+1. corpus build (scale_probe's deterministic generator, 10M docs —
+   reused from /tmp if present),
+2. ``pca_top_components_fast`` k=4 (directive #3: the fast-Gram rung
+   under the top-4 redefinition — expected: the corpus pass is the
+   whole cost, iterations corpus-independent),
+3. fine-pool candidate-volume probe (directive #6's "measure which":
+   Σ C(bucket,2) of the production 8×16 geometry at 10M — the exact
+   in-join cosine-eval count a band-pool mining run would pay, from
+   one cheap groupBy instead of an hours-long join),
+4. ``semantic_dedup_sampled`` at derive_k(10M)=156 250 with the auto
+   broadcast policy (directive #1 — the headline, multi-hour),
+5. ``hard_negative_triplets_ivf`` (directive #6's production source —
+   attempted only if step 4 leaves wall-clock; gate via
+   RUNG10M_DEADLINE_EPOCH, default: always attempt).
+
+Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
+           [n_docs] [corpus_dir] [steps]
+       (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
+        steps is a comma list from {pca,volume,semantic,ivfneg})
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "docs",
+    "rung10m_r7.jsonl",
+)
+
+
+def emit(rec: dict) -> None:
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_10m"
+    steps = (
+        set(sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else {"pca", "volume", "semantic", "ivfneg"}
+    )
+    deadline = float(os.environ.get("RUNG10M_DEADLINE_EPOCH", "0")) or None
+
+    from scripts.scale_probe import build_documents, build_embeddings
+
+    from data_lake_construction_and_querying_with_pyspark_spark import get_spark
+
+    spark = get_spark(app_name="rung10m_r7")
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    docs_path = f"{out}/documents.parquet"
+    emb_path = f"{out}/embeddings.parquet"
+    if not os.path.exists(docs_path):
+        build_documents(spark, n_docs).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(emb_path):
+        build_embeddings(spark, n_docs).write.mode("overwrite").parquet(emb_path)
+    emit({"op": "corpus_build", "n_docs": n_docs, "seconds": round(time.time() - t0, 2)})
+
+    def run(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    emb = spark.read.parquet(emb_path)
+
+    if "pca" in steps:
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.pca import (
+            gram_matrix_fast,
+            pca_top_components_fast,
+        )
+
+        # corpus pass alone first (the claim under test: Gram IS the cost)
+        t0 = time.time()
+        gram_matrix_fast(emb)
+        gram_s = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        run(pca_top_components_fast(spark, emb, k=4))
+        emit(
+            {
+                "op": "pca_gram_fast_topk",
+                "n_docs": n_docs,
+                "gram_only_seconds": round(gram_s, 2),
+                "seconds": round(time.time() - t0, 2),
+                "k": 4,
+            }
+        )
+
+    if "volume" in steps:
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            lsh_multi_buckets_flat,
+            with_norm,
+        )
+
+        e = with_norm(emb)
+        for label, tables, planes in (
+            ("fine_8x16", 8, 16),
+            ("coarse_2x8", 2, 8),
+        ):
+            t0 = time.time()
+            vol = (
+                lsh_multi_buckets_flat(e, n_tables=tables, n_planes=planes)
+                .groupBy("tbl", "bucket")
+                .count()
+                .agg(
+                    F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+                    F.max("count").alias("max_bucket"),
+                )
+                .first()
+            )
+            emit(
+                {
+                    "op": f"neg_pool_candidate_volume_{label}",
+                    "n_docs": n_docs,
+                    "seconds": round(time.time() - t0, 2),
+                    "candidate_pairs": int(vol["pairs"]),
+                    "max_bucket": int(vol["max_bucket"]),
+                }
+            )
+
+    if "semantic" in steps:
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+            derive_k,
+            semantic_dedup_sampled,
+        )
+
+        # row count rides the ONE timed action via observe — a bare
+        # .count() afterwards would re-run the whole multi-hour plan
+        obs = Observation("semantic_rows")
+        t0 = time.time()
+        flagged = (
+            semantic_dedup_sampled(spark, emb, k=derive_k(n_docs), tau=0.95)
+            .filter(F.col("is_semantic_dup"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        run(flagged)
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "semantic_dedup_sampled_k",
+                "n_docs": n_docs,
+                "seconds": round(dt, 2),
+                "rows": int(obs.get["n"]),
+                "planted_pairs": n_docs // 20,
+                "k": derive_k(n_docs),
+            }
+        )
+
+    if "ivfneg" in steps and (deadline is None or time.time() < deadline):
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            hard_negative_triplets_ivf,
+        )
+
+        planted = F.pmod((F.col("anchor_id") / 2).cast("long"), 20) < 2
+        partner = F.col("anchor_id").bitwiseXOR(F.lit(1))
+        obs = Observation("ivfneg_rows")
+        t0 = time.time()
+        trip = hard_negative_triplets_ivf(
+            spark, emb, tau=0.9, broadcast_buckets=False
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(planted & (F.col("pos_id") == partner), 1)).alias("hits"),
+        )
+        run(trip)
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "hard_negative_mining_ivfpool",
+                "n_docs": n_docs,
+                "seconds": round(dt, 2),
+                "rows": int(obs.get["n"]),
+                "planted_pos_recovered": int(obs.get["hits"]),
+                "planted_pairs": n_docs // 20,
+            }
+        )
+
+    emit({"op": "done", "n_docs": n_docs})
+
+
+if __name__ == "__main__":
+    main()
