@@ -47,10 +47,6 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
-    as_double_vec,
-    dot,
-)
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
@@ -59,6 +55,8 @@ TARGET_CELL = 64  # target vectors per cell; k grows ∝ n above the floor
 N_ITERS = 3  # fixed Lloyd's iterations (determinism: no convergence test)
 TAU = 0.4  # within-cluster cosine threshold (fixture has no natural 0.9+ pairs)
 SEM_NPROBE = 3  # coarse anchors probed per vector (docs/SCALING.md: best planted-pair recovery per cost at the 100k rung)
+IVF_MIN_CELLS = 16  # floor of the derived IVF cell count
+IVF_ITERS = 2  # Lloyd's iterations for the coarse quantizer
 
 
 def derive_k(n: int) -> int:
@@ -208,6 +206,21 @@ def _shortlist_lloyds_ctes(
                     GROUP BY cell, pos) GROUP BY cell)"""
             )
     return ctes
+
+
+# Imported HERE, not at the top of the file: similarity.py's module
+# body registers knn_ivf_pq with an oracle built from THIS module's
+# quantizer contract (IVF_ITERS / IVF_MIN_CELLS / SEM_NPROBE /
+# _shortlist_lloyds_ctes). Placing the similarity import after those
+# definitions makes the circular import safe in EITHER entry order —
+# importing semantic first used to die at similarity.py's registration
+# line because this module had only executed its header (the r7
+# test_semantic*-standalone failure; the full suite passed by
+# import-order luck via all_queries()).
+from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (  # noqa: E402
+    as_double_vec,
+    dot,
+)
 
 
 def _oracle_semantic(
@@ -492,6 +505,34 @@ def _seed_centroids(spark: SparkSession, base: DataFrame, k: int) -> DataFrame:
     return _materialize_centroids(spark, centroids)
 
 
+def training_sample(
+    base: DataFrame, n: int, k: int, sample_per_cell: int = SAMPLE_PER_CELL
+) -> DataFrame:
+    """The deterministic ~``sample_per_cell·k``-vector training draw
+    shared by :func:`semantic_dedup_sampled` and the sampled IVF
+    quantizer trainers (``similarity.hard_negative_triplets_ivf``):
+    keep vec_id iff ``substr(md5('semsample:' || vec_id), 1, 4) <
+    thr_hex`` with ``thr = min(65536, target·65536 // n)`` — RNG-free,
+    partitioning-independent, cross-engine replayable (fixed-width
+    lowercase hex compares as its numeric value in both engines; the
+    xxhash64 stride it replaced had no DuckDB twin). Returns ``base``
+    itself when the threshold saturates (sample ≡ corpus), which makes
+    sampled and full-trained paths bit-identical by construction —
+    the property the sampled tests pin."""
+    target = min(n, max(k, sample_per_cell * k))
+    thr = min(65536, (target * 65536) // max(1, n))
+    if thr >= 65536:
+        return base
+    return base.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("semsample:"), F.col("vec_id").cast("string"))),
+            1,
+            4,
+        )
+        < format(thr, "04x")
+    )
+
+
 def semantic_dedup_sampled(
     spark: SparkSession,
     emb: DataFrame,
@@ -544,20 +585,9 @@ def semantic_dedup_sampled(
         first = base.select(F.size("v").alias("d")).first()
         dim = first["d"] if first else 0
         broadcast_buckets = k * dim * 8 <= _BROADCAST_BUCKET_BYTES_CAP
-    target = min(n, max(k, sample_per_cell * k))
-    thr = min(65536, (target * 65536) // max(1, n))
-    sample = (
-        base
-        if thr >= 65536
-        else base.filter(
-            F.substring(
-                F.md5(F.concat(F.lit("semsample:"), F.col("vec_id").cast("string"))),
-                1,
-                4,
-            )
-            < format(thr, "04x")
-        ).persist()
-    )
+    sample = training_sample(base, n, k, sample_per_cell)
+    if sample is not base:
+        sample = sample.persist()
     centroids = _seed_centroids(spark, base, k)
     m = coarse_m(k)
     for _ in range(iters - 1):
@@ -571,8 +601,6 @@ def semantic_dedup_sampled(
     return mark_within_cell_dups(final, tau)
 
 
-IVF_MIN_CELLS = 16  # floor of the derived IVF cell count
-IVF_ITERS = 2  # Lloyd's iterations for the coarse quantizer
 IVF_NPROBE = 2  # cells probed per query
 IVF_N_QUERIES = 5  # vec_id < 5 are the demo query vectors (as knn_brute_force)
 IVF_TOP_K = 10

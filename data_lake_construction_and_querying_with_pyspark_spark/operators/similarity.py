@@ -1118,6 +1118,11 @@ _NEG_SEED = 424_243
 # candidate join the dedup ladder runs — measured 396.6 s @1M with
 # 50 000/50 000 anchor coverage, vs ~10 500 s extrapolated coarse).
 _NEG_POOL_SWITCH = 500_000
+# Above this, hard_negative_triplets_ivf trains its coarse quantizer
+# on the md5-threshold sample instead of the full corpus (the
+# semantic_dedup_sampled move): the 1M rung is measured full-trained,
+# everything larger pays one corpus assignment instead of IVF_ITERS.
+_IVF_SAMPLE_TRAIN_MIN = 2_000_000
 
 
 def neg_pool_geometry(n_docs: int) -> "tuple[int, int]":
@@ -1228,6 +1233,7 @@ def hard_negative_triplets_ivf(
     n_tables: int = 8,
     n_planes: int = 16,
     broadcast_buckets: bool = True,
+    train_on_sample: bool | None = None,
 ) -> DataFrame:
     """The ≥100M-doc triplet miner (VERDICT r5 #6): same positives and
     the same threshold-split + argmax contract as
@@ -1251,6 +1257,14 @@ def hard_negative_triplets_ivf(
 
     ``broadcast_buckets=False`` selects the shuffled shortlist
     assignment (the measured 10M broadcast-ceiling escape, semantic.py).
+    ``train_on_sample`` moves the Lloyd's TRAINING passes onto the
+    deterministic md5-threshold draw (``semantic.training_sample`` —
+    the same corpus-size-independent trick as
+    ``semantic_dedup_sampled``), so the corpus pays ONE shortlist
+    assignment instead of ``IVF_ITERS``; ``None`` auto-enables it at
+    ≥ ``_IVF_SAMPLE_TRAIN_MIN`` docs (above the measured full-train 1M
+    rung), and below the saturation threshold the sample IS the corpus
+    so the two paths are bit-identical by construction.
     Coverage note: an anchor alone in its cell emits no triplet — the
     same honest approximate semantics as the band pools; at ≥1M docs
     cell population makes that vanishingly rare."""
@@ -1266,6 +1280,7 @@ def hard_negative_triplets_ivf(
         coarse_m,
         kmeans_update,
         shortlist_assign,
+        training_sample,
     )
 
     e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1274,15 +1289,21 @@ def hard_negative_triplets_ivf(
     base = e.select("vec_id", "v")
     n = base.count()
     k_cells = max(IVF_MIN_CELLS, n // TARGET_CELL)
+    if train_on_sample is None:
+        train_on_sample = n >= _IVF_SAMPLE_TRAIN_MIN
+    train = training_sample(base, n, k_cells) if train_on_sample else base
+    if train is not base:
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
     centroids = _seed_centroids(spark, base, k_cells)
     m = coarse_m(k_cells)
-    assigned = None
-    for t in range(1, IVF_ITERS + 1):
-        assigned = shortlist_assign(
-            base, centroids, m, SEM_NPROBE, broadcast_buckets=broadcast_buckets
+    for _ in range(IVF_ITERS - 1):
+        assigned_t = shortlist_assign(
+            train, centroids, m, SEM_NPROBE, broadcast_buckets=broadcast_buckets
         )
-        if t < IVF_ITERS:
-            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+        centroids = _materialize_centroids(spark, kmeans_update(assigned_t))
+    assigned = shortlist_assign(
+        base, centroids, m, SEM_NPROBE, broadcast_buckets=broadcast_buckets
+    )
     cells = assigned.select("vec_id", "cell")
 
     ec = e.join(cells, "vec_id")

@@ -333,3 +333,68 @@ def test_hard_negative_ivf_pool_contract_and_hardness(spark):
     deltas = [r.neg_cosine - both[r.anchor_id] for r in ivf if r.anchor_id in both]
     assert deltas, "pools must overlap on some anchors"
     assert sum(deltas) / len(deltas) >= -0.02  # at least as hard on average
+
+
+def test_ivf_miner_sample_training(spark):
+    """r7 (VERDICT r6 directive #6): the IVF miner's quantizer can
+    train on the deterministic md5-threshold sample — one corpus
+    assignment instead of IVF_ITERS. Three pins: (a) at saturation
+    (sample ≡ corpus) sampled and full-trained output is bit-identical
+    by construction; (b) under REAL sampling the positives are
+    untouched (training only moves centroids) and every triplet keeps
+    the hardness contract; (c) the auto policy stays off below
+    _IVF_SAMPLE_TRAIN_MIN so the measured ≤1M rungs are unchanged."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_PLANES,
+        _SCALED_TAU,
+        _SCALED_TABLES,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        _IVF_SAMPLE_TRAIN_MIN,
+        as_double_vec,
+        hard_negative_triplets_ivf,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    assert _IVF_SAMPLE_TRAIN_MIN > 1_000_000  # (c): 1M rung stays full-trained
+
+    base = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    kw = dict(tau=_SCALED_TAU, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES)
+
+    # (a) ≤8·k_min vectors: the threshold saturates, sample IS the corpus
+    tiny = base.filter(F.col("vec_id") < 100).unionByName(
+        clones.filter(F.col("vec_id") < _CLONE_OFF + 100)
+    )
+    full = {tuple(r) for r in hard_negative_triplets_ivf(spark, tiny, **kw).collect()}
+    sampled = {
+        tuple(r)
+        for r in hard_negative_triplets_ivf(
+            spark, tiny, train_on_sample=True, **kw
+        ).collect()
+    }
+    assert full == sampled and full
+
+    # (b) full fixture: the draw keeps ~1/8 of vectors (real sampling)
+    corpus = base.unionByName(clones)
+    ivf_s = hard_negative_triplets_ivf(
+        spark, corpus, train_on_sample=True, **kw
+    ).collect()
+    ivf_f = hard_negative_triplets_ivf(spark, corpus, **kw).collect()
+    assert ivf_s, "sampled training must still emit triplets"
+    for r in ivf_s:
+        assert r.pos_cosine > _SCALED_TAU >= r.neg_cosine
+        assert len({r.anchor_id, r.pos_id, r.neg_id}) == 3
+    assert {(r.anchor_id, r.pos_id) for r in ivf_s} == {
+        (r.anchor_id, r.pos_id) for r in ivf_f
+    }
