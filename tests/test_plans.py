@@ -147,7 +147,6 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
 _NESTED_LOOP_OK = {
     "knn_brute_force",
     "knn_lsh_bucketed",  # broadcast query side
-    "funnel_conversion",  # 1-row × 1-row count cross joins
     "knn_ivf_probe",  # query × 16-centroid broadcast distance table
     "knn_ivf_deterministic",  # Lloyd's assign + query × broadcast centroid probes
     "knn_ivf_pq",  # query × broadcast centroid probes (coarse stage; the
