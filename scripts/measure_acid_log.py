@@ -92,6 +92,27 @@ def main() -> None:
     history_s = round(time.time() - t0, 4)
     assert len(h) == n_commits
 
+    # r7 pointer A/B: head loads via the _last_checkpoint pointer
+    # (zero directory listings) vs the forced listing path (pointer
+    # removed) — the LIST is the object-store-priced unit the pointer
+    # exists to remove. Same table, same head, best-effort warm cache
+    # both ways (50 reps).
+    from data_lake_construction_and_querying_with_pyspark_spark.acid import _LAST_CP
+
+    def time_head(reps: int = 50) -> float:
+        t0 = time.time()
+        for _ in range(reps):
+            assert t.snapshot().version == n_commits
+        return round((time.time() - t0) / reps * 1e3, 3)  # ms
+
+    head_with_pointer_ms = time_head()
+    ptr = os.path.join(t.log_path, _LAST_CP)
+    ptr_body = open(ptr).read()
+    os.unlink(ptr)
+    head_listing_ms = time_head()
+    with open(ptr, "w") as fh:
+        fh.write(ptr_body)
+
     log_bytes = sum(
         os.path.getsize(os.path.join(t.log_path, f)) for f in os.listdir(t.log_path)
     )
@@ -108,6 +129,8 @@ def main() -> None:
                 "snapshot_head_s": snapshot_head,
                 "time_travel_s": tt,
                 "history_s": history_s,
+                "head_with_pointer_ms": head_with_pointer_ms,
+                "head_listing_ms": head_listing_ms,
                 "log_dir_mb": round(log_bytes / 1e6, 1),
                 "n_checkpoints": len(cp_sizes),
                 "largest_checkpoint_kb": round(max(cp_sizes) / 1e3, 1),
