@@ -1,0 +1,73 @@
+"""The driver-window rotation contract, self-checking (r7).
+
+The external correctness driver verifies only the first 50 registered
+entries per round (registry.py's window comment). The rotation rule —
+"no oracle-bearing entry's most-recent driver row may end a round more
+than 2 rounds old" — was previously re-derived by hand each round from
+the CORRECTNESS_r*.json history; these tests derive it from the
+committed artifacts so a mis-planned window fails CI before the
+driver ever runs."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import data_lake_construction_and_querying_with_pyspark_spark.registry as reg
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SLOTS = 50
+MAX_AGE = 2  # rounds an oracle entry may go without a fresh driver row
+
+
+def _ledger() -> tuple[dict[str, int], int]:
+    """name -> latest round with a driver row, and the newest round."""
+    latest: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        assert m, path
+        r = int(m.group(1))
+        newest = max(newest, r)
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), r)
+    return latest, newest
+
+
+def test_window_is_50_distinct_registered_oracle_entries():
+    qs = reg.all_queries()
+    window = reg._CHECKED_WINDOW_FIRST
+    assert len(window) == WINDOW_SLOTS
+    assert len(set(window)) == WINDOW_SLOTS, "duplicate window entries"
+    missing = [n for n in window if n not in reg.QUERIES]
+    assert not missing, missing
+    rows_only = [n for n in window if reg.QUERIES[n].oracle is None]
+    assert not rows_only, f"rows-only entries burn window slots: {rows_only}"
+    # registration order is the driver contract: the window IS the
+    # first 50 of all_queries()
+    assert tuple(list(qs)[:WINDOW_SLOTS]) == window
+
+
+def test_window_keeps_every_oracle_entry_fresh():
+    """Assuming the current window runs this round (round newest+1),
+    no live oracle-bearing entry's latest driver row may end the round
+    more than MAX_AGE rounds old — the contract the judge recomputes
+    (VERDICT r6: '50 @r6, 49 @r5, 32 @r4, nothing older')."""
+    reg.all_queries()
+    latest, newest = _ledger()
+    if newest == 0:
+        return  # no driver artifacts yet (fresh clone)
+    this_round = newest + 1
+    window = set(reg._CHECKED_WINDOW_FIRST)
+    stale = []
+    for name, spec in reg.QUERIES.items():
+        if spec.oracle is None or name in window:
+            continue
+        last = latest.get(name)
+        if last is None:
+            stale.append((name, "never driver-checked and not in window"))
+        elif this_round - last > MAX_AGE:
+            stale.append((name, f"latest driver row r{last} would be {this_round - last} rounds old"))
+    assert not stale, stale
