@@ -254,7 +254,90 @@ COMMENTARY = {
         "cross the exchange exactly once for assignment regardless of "
         "corpus size, and training cost is corpus-size-independent."
     ),
+    "funnel_conversion": (
+        "Ordered funnel in ONE events scan (r7): a single "
+        "hashpartitioning Exchange on user_id feeds one two-phase "
+        "ObjectHashAggregate collecting the first view plus each later "
+        "type's event times; the strict-after chain (t2..t4) is an "
+        "array filter/array_min projection, and the four stage counts "
+        "ride one final 1-row aggregate. No joins, no cross joins — "
+        "the old shape re-joined events per stage (4 shuffles) and "
+        "crossJoined four 1-row count subtrees."
+    ),
 }
+
+
+
+# Hand-maintained plan essays appended verbatim after the generated
+# sections — regeneration must not clobber them (it did once, r7).
+HAND_SECTIONS = """\
+## bpe_learn_merges / bpe_token_counts / bpe_encode_documents
+
+Tokenizer-training family (`operators/tokenizer.py`). Three plan
+shapes, pinned by `tests/test_plans.py::test_bpe_stage_plans`:
+
+**Word-frequency build** (the ONE corpus-sized stage — shared subtree
+of everything below):
+
+```
+HashAggregate (final: count → freq, + wrap chars as <c><h><a><r>)
++- Exchange hashpartitioning(word, 512)       -- the only corpus shuffle
+   +- HashAggregate partial_count(1)           -- map-side combine
+      +- Generate explode(filter(split(text)))
+         +- Scan parquet ReadSchema: struct<text:string>   -- 1-col scan
+```
+
+Only `text` is read; partial counts collapse the token stream to
+distinct words per map task before the exchange, so the shuffle carries
+≤ |vocab| rows per task, not the token count.
+
+**Per-iteration pair counting** (runs k times, vocabulary-sized):
+
+```
+HashAggregate (final sum → cnt)
++- Exchange hashpartitioning(lft, rgt, 512)    -- |pairs| ≤ |vocab|·len rows
+   +- HashAggregate partial_sum(freq)
+      +- Generate explode(arrays_zip(slice(syms,1,n-1), slice(syms,2,n-1)))
+         +- [word-frequency subtree above]
+```
+
+One parquet scan total per iteration plan; the argmax is
+`orderBy(cnt desc, lft, rgt).limit(1)` → TakeOrderedAndProject over the
+vocabulary-sized aggregate, collected as ONE driver row per step (the
+same deliberate driver-bounded shape as Lloyd's centroid
+materialization). Applying the merge is a `replace` projection on the
+word table — no action, just lineage for the next iteration.
+
+**Document encode** (`bpe_encode_documents`, after the merges are
+learned):
+
+```
+Project [doc_id, n_bpe_tokens, n_words, chars_per_token]
+  -- k chained literal replace() calls inside ONE codegen'd projection
++- ColumnarToRow [codegen id : 1]
+   +- Scan parquet ReadSchema: struct<doc_id,text,n_chars>
+```
+
+Zero exchanges, zero joins: the learned merges are inlined as string
+literals, so the whole encode is a single whole-stage-codegen map over
+the corpus — the textbook executor-scaled pass. Token count is
+`length(seq) - length(replace(seq,'>',''))` (every symbol contributes
+exactly one `>`), avoiding any split/explode on the hot path.
+
+## rerank_bm25_candidates: the unpartitioned final window is deliberate
+
+The ranking window at the end of the rerank pipeline
+(`operators/retrieval.py`, `ROW_NUMBER() OVER (ORDER BY ...)` with no
+PARTITION BY) triggers Spark's "No Partition Defined for Window
+operation" WARN in every bench run. That is the plan we want, not an
+oversight: the window's input is the BROADCAST top-50 candidate set —
+exactly `top_n` rows at ANY corpus size (the 10M rung in
+docs/SCALING.md measures the slope living entirely in the BM25 stage)
+— so single-partition processing of 50 rows is O(top_n),
+corpus-independent, and the only correct place to impose the global
+rerank order. Repartitioning 50 rows to silence the WARN would add an
+exchange for nothing.
+"""
 
 
 def main() -> None:
@@ -285,6 +368,7 @@ def main() -> None:
                 keep.append(block)
                 keep.append("")
         out += [f"## {name}", "", comment, "", "```", "\n".join(keep).strip(), "```", ""]
+    out.append(HAND_SECTIONS)
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
