@@ -1039,6 +1039,138 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_residual_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query_ids,
+    nprobe: int = IVFPQ_NPROBE,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """IVFADC proper (Jégou et al. 2011 §IV.A): product-quantize the
+    RESIDUAL ``r = v − q1(v)`` instead of the raw vector. The coarse
+    centroid already explains the vector's position in space, so the
+    codebooks only have to cover the (much tighter) within-cell
+    displacement distribution — the paper's measured accuracy win at
+    the same code budget, and the variant a real billion-scale
+    deployment runs. Library + pytest (recall vs the non-residual
+    ``ivf_pq_topk`` on planted clones); the REGISTERED ``knn_ivf_pq``
+    keeps raw-vector codes because its exact chained-CTE oracle replays
+    that contract.
+
+    Cost shape vs ``ivf_pq_topk``: identical corpus passes (coarse
+    build, one residual projection riding the encode scan) with ONE
+    extra small table — the per-(query, probed-cell) distance tables
+    are nprobe× the flat version's, still
+    queries·nprobe·m·k* ≈ tiny, broadcast. At 100 TB: inverted lists
+    as partition pruning, 8-byte codes as the scan, residual
+    geometry for free."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+        IVF_ITERS,
+        IVF_MIN_CELLS,
+        SEM_NPROBE,
+        TARGET_CELL,
+        _materialize_centroids,
+        _seed_centroids,
+        coarse_m,
+        kmeans_update,
+        shortlist_assign,
+    )
+
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    n = base.count()
+    k_cells = max(IVF_MIN_CELLS, n // TARGET_CELL)
+    centroids = _seed_centroids(spark, base, k_cells)
+    m = coarse_m(k_cells)
+    assigned = None
+    for t in range(1, IVF_ITERS + 1):
+        assigned = shortlist_assign(base, centroids, m, SEM_NPROBE)
+        if t < IVF_ITERS:
+            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+    cells = assigned.select("vec_id", "cell")
+
+    # residuals: one broadcast join + zip_with projection on the scan
+    residual = F.zip_with("v", "cent", lambda x, c: x - c).alias("v")
+    rbase = (
+        base.join(cells, "vec_id")
+        .join(F.broadcast(centroids), "cell")
+        .select("vec_id", "cell", residual)
+        .persist()
+    )
+    codebooks = pq_train_codebooks(spark, rbase.select("vec_id", "v"))
+    codes = _pq_assign(_pq_subvectors(rbase.select("vec_id", "v")), codebooks).join(
+        cells, "vec_id"
+    )
+
+    queries = base.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cd2 = (
+        dot("qv", "qv") - F.lit(2) * dot("qv", "cent") + dot("cent", "cent")
+    ).alias("cd2")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd2"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", "cent", cd2)
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= nprobe)
+        .select("query_id", "qv", "cell", "cent")
+    )
+    # per-(query, probed cell) RESIDUAL distance tables: the query's
+    # residual differs per probed cell, so the table carries the cell
+    # key — still queries·nprobe·m·k* rows, broadcast
+    qres = probes.select(
+        "query_id",
+        "cell",
+        F.zip_with("qv", "cent", lambda x, c: x - c).alias("qr"),
+    )
+    qsubs = qres.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("qr", j * PQ_SUBDIM + 1, PQ_SUBDIM) for j in range(PQ_M)])
+        ).alias("j", "qsub"),
+    )
+    pd2 = (
+        dot("qsub", "qsub") - F.lit(2) * dot("qsub", "cent") + dot("cent", "cent")
+    ).alias("pd2")
+    qdist = (
+        qsubs.join(F.broadcast(codebooks.withColumnRenamed("cell", "code")), "j")
+        .select("query_id", F.col("cell").alias("pcell"), "j", "code", pd2)
+    )
+
+    adc = (
+        codes.alias("c")
+        .join(
+            F.broadcast(qdist).alias("q"),
+            (F.col("c.cell") == F.col("q.pcell"))
+            & (F.col("c.j") == F.col("q.j"))
+            & (F.col("c.code") == F.col("q.code")),
+        )
+        .groupBy(F.col("q.query_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
+        .agg(F.sum(F.col("pd2").cast("decimal(38,12)")).cast("double").alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    top = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rn")
+    )
+    nm = base.select("vec_id", "v", F.sqrt(dot("v", "v")).alias("norm"))
+    qn = nm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cosine = dot("qv", "v") / (F.col("qnorm") * F.col("norm"))
+    return (
+        F.broadcast(top)
+        .join(nm, top["neighbor_id"] == nm["vec_id"])
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"), "adc_d2", "rn")
+    )
+
+
 def _oracle_ivf_pq() -> str:
     """Composed replay: the shared shortlist-Lloyd's chain builds the
     coarse quantizer (identical to the knn_ivf_deterministic oracle —

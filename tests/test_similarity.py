@@ -398,3 +398,37 @@ def test_ivf_miner_sample_training(spark):
     assert {(r.anchor_id, r.pos_id) for r in ivf_s} == {
         (r.anchor_id, r.pos_id) for r in ivf_f
     }
+
+
+def test_ivf_pq_residual_recovers_planted_clones_at_least_as_well(spark):
+    """IVFADC proper (r7): residual codes must recover planted partners
+    at least as well as raw-vector codes at the same budget — the
+    Jégou §IV.A claim, checked head-to-head on the same corpus, same
+    queries, same coarse quantizer construction."""
+    from scripts.scale_probe import build_embeddings
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    n = 2000
+    emb = build_embeddings(spark, n)
+    queries = [2 * k for k in range(n // 2) if k % 20 == 1][:20]
+
+    def hits(fn):
+        out = fn(spark, emb, query_ids=queries).collect()
+        spark.catalog.clearCache()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["rn"], r["neighbor_id"]))
+        h = 0
+        for q in queries:
+            ranked = sorted(by_q.get(q, []))
+            if (q + 1) in [nb for rn, nb in ranked[:3]]:
+                h += 1
+        return h
+
+    raw = hits(ivf_pq_topk)
+    res = hits(ivf_pq_residual_topk)
+    assert res >= 16, f"residual IVF-PQ top-3 recovery only {res}/20"
+    assert res >= raw, f"residual codes recovered {res}/20 vs raw {raw}/20"
