@@ -175,9 +175,16 @@ def main() -> None:
         planted = F.pmod((F.col("anchor_id") / 2).cast("long"), 20) < 2
         partner = F.col("anchor_id").bitwiseXOR(F.lit(1))
         obs = Observation("ivfneg_rows")
+        # positives geometry scales bits with log n (the dedup family's
+        # own contract): the measured 10M volume probe puts the 16-bit
+        # bands at 1.275e10 candidate evals (>11 h on this box), so at
+        # ≥10M the positives join runs 20-bit tables (~1M keys,
+        # ~3.6e8 evals — the 1M-rung volume class). ≤1M keeps the
+        # registered 16-bit geometry for comparability.
+        pos_planes = 20 if n_docs >= 10_000_000 else 16
         t0 = time.time()
         trip = hard_negative_triplets_ivf(
-            spark, emb, tau=0.9, broadcast_buckets=False
+            spark, emb, tau=0.9, n_planes=pos_planes, broadcast_buckets=False
         ).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
