@@ -295,6 +295,9 @@ def _d2_col(v, cent) -> F.Column:
     return dot(v, v) - F.lit(2) * dot(v, cent) + dot(cent, cent)
 
 
+SHUFFLED_ASSIGN_SALT = 32  # salt fan-out for the shuffled acell join (replicates only the k-row centroid side)
+
+
 def shortlist_assign(
     base: DataFrame,
     centroids: DataFrame,
@@ -337,7 +340,21 @@ def shortlist_assign(
     per vec_id, so the final exchange carries ≤ n·nprobe partial rows
     instead of the broadcast form's exactly-n — bounded either way.
     Values are identical: the join key and the d2/tie-break arithmetic
-    do not depend on the join strategy."""
+    do not depend on the join strategy.
+
+    The shuffled join is SALTED (r7, measured at the 10M rung): acell
+    has only m ≈ √k distinct values, and per-key join OUTPUT is
+    (probes in acell) × (centroids in acell) — quadratic in anchor
+    popularity, invisible to AQE's skew split (which triggers on input
+    partition BYTES; the skinny probed inputs sit under the 256 MB
+    threshold while two hot anchors pinned the stage for ~70 task-
+    minutes each with 30 cores idle). The classic recipe from
+    ``operators/joins.py::join_salted``: probes carry
+    ``pmod(hash(vec_id), S)``, the k-row centroid side replicates ×S
+    (~80 MB × S of cheap shuffle), the join key becomes (acell, salt),
+    and every hot anchor's work splits S ways. The per-vec_id min_by
+    runs AFTER the join, so the candidate set — and therefore every
+    value and the DuckDB oracle — is untouched by the salt."""
     anchors = (
         centroids.orderBy("cell")
         .limit(m)
@@ -372,9 +389,17 @@ def shortlist_assign(
         .select("vec_id", "v", F.col("p.acell").alias("acell"))
     )
     best = F.min_by(F.struct("cell", "v"), F.struct("d2", "cell")).alias("b")
-    buckets = F.broadcast(bucketed) if broadcast_buckets else bucketed
+    if broadcast_buckets:
+        joined = probed.join(F.broadcast(bucketed), "acell")
+    else:
+        s = SHUFFLED_ASSIGN_SALT
+        probed_s = probed.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(s)))
+        bucketed_s = bucketed.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        )
+        joined = probed_s.join(bucketed_s, ["acell", "salt"])
     return (
-        probed.join(buckets, "acell")
+        joined
         .select("vec_id", "v", "cell", _d2_col(F.col("v"), F.col("cent")).alias("d2"))
         .groupBy("vec_id")
         .agg(best)
