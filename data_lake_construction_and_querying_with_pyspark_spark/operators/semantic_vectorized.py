@@ -1,0 +1,279 @@
+"""Vectorized (numpy-over-Arrow) scoring twins for the SemDeDup family.
+
+Why this module exists (docs/SCALING.md "The 10M SemDeDup wall"): the
+oracle-checked assignment in ``operators/semantic.py`` scores every
+(vector, centroid) candidate with the sequential-fold dot product
+(``F.aggregate(F.zip_with(...))``) — the arithmetic that makes every
+ANN/SemDeDup oracle bit-replayable in DuckDB — but Spark evaluates
+higher-order functions on the INTERPRETED expression path (a codegen
+fallback), and the measured box-wide ceiling is ~8×10⁵ fold-dots/s on
+32 cores. At the 10M rung the one full shortlist assignment needs
+~1.6×10¹⁰ dots ⇒ ~5.5 h regardless of plan shape, and a 1000-executor
+cluster hits the same interpreter, just wider. The unrolled
+fixed-width expression tree was measured OUT (1.7× slower — ROADMAP
+r7); the honest escape is batch-matrix arithmetic.
+
+These twins run the SAME shortlist semantics (anchors = m lowest cell
+ids, every centroid bucketed under its nearest anchor with acell
+tie-break, every vector probes its nprobe nearest anchors, argmin over
+the probed buckets with (d2, cell) tie-break) but score with numpy
+matmuls over Arrow batches (``mapInPandas`` — one BLAS GEMM per
+(batch, probed-anchor) group instead of one interpreter walk per
+candidate). numpy's pairwise/BLAS summation order differs from the
+sequential fold in final ulps, so results can legitimately flip on
+exact-distance ties: the twins are therefore RECALL/AGREEMENT-tested
+against the fold path (tests/test_semantic_vectorized.py), never
+hash-checked, and the oracle-bearing registered entries keep the fold.
+Use the fold path when cross-engine replayability is the contract; use
+this twin when wall-clock at ≥10M rows is.
+
+Scale shape (better than the fold path, not just faster arithmetic):
+the fold shortlist materializes (vector, probed-anchor) rows and
+equi-joins them to bucketed centroids on ``acell`` — a join whose
+per-key OUTPUT is quadratic in anchor popularity (the 10M skew bug the
+salted join fixes, docs/SCALING.md). The vectorized twin broadcasts
+the bucketed centroid index once (k·d doubles — 80 MB at k=156 250,
+one copy per executor via ``SparkContext.broadcast``) and assigns each
+input partition IN PLACE: zero shuffle, zero join, no skew surface,
+output partitioning = input partitioning. The within-cell pair stage
+keeps its one unavoidable shuffle (groupBy cell — n skinny rows) and
+replaces the fold-scored self-join with a per-cell GEMM under
+``applyInPandas``, blocked so a pathologically hot cell stays
+O(block·|cell|) in memory instead of O(|cell|²).
+
+Reference parity: the reference repo has no ANN/semantic surface at
+all (its 233 lines are Glue/Athena plumbing — SURVEY.md §2.7); this
+family is part of the required training-data-pipeline extension, and
+the SemDeDup semantics follow Abbas et al. 2023 (arXiv:2303.09540).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+    N_ITERS,
+    SAMPLE_PER_CELL,
+    SEM_NPROBE,
+    TAU,
+    _materialize_centroids,
+    _seed_centroids,
+    coarse_m,
+    kmeans_update,
+    training_sample,
+)
+from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import as_double_vec
+
+_PAIR_BLOCK_ROWS = 1024  # row-block size for the per-cell Gram GEMM (memory ∝ block·|cell|)
+
+
+def _centroid_index(centroids: DataFrame, m: int) -> dict:
+    """Collect the (driver-literal) centroid table and build the
+    broadcastable shortlist index: anchor matrix + per-anchor
+    contiguous centroid blocks, all sorted so numpy's first-occurrence
+    ``argmin`` IS the fold path's tie-break.
+
+    Driver-bounded by construction: k·d doubles (~80 MB at the 10M
+    rung's k=156 250, d=64) — the same table ``_materialize_centroids``
+    already collects between Lloyd's iterations.
+
+    Ordering invariants the assignment kernel relies on:
+    * rows sorted by cell ascending ⇒ anchors are the first m rows and
+      ``acells`` is ascending ⇒ a stable argsort of anchor distances
+      tie-breaks toward the LOWER acell, like the fold's
+      ``array_sort(struct(d2, acell))``;
+    * a stable argsort by bucket owner preserves the cell-ascending
+      order WITHIN each bucket ⇒ per-bucket ``argmin`` first occurrence
+      is the lowest cell, like the fold's ``min_by(struct(d2, cell))``;
+    * anchors own themselves (``owner[:m] = arange(m)``) ⇒ no probed
+      bucket is empty, the fold path's non-empty-shortlist guarantee.
+    """
+    rows = centroids.collect()
+    cells = np.fromiter((r["cell"] for r in rows), dtype=np.int64, count=len(rows))
+    C = np.array([r["cent"] for r in rows], dtype=np.float64)
+    order = np.argsort(cells, kind="stable")
+    cells, C = cells[order], C[order]
+    m = min(m, len(cells))
+    A = C[:m].copy()
+    a2 = np.einsum("ij,ij->i", A, A)
+    c2 = np.einsum("ij,ij->i", C, C)
+    owner = (c2[:, None] - 2.0 * (C @ A.T) + a2[None, :]).argmin(axis=1)
+    owner[:m] = np.arange(m)
+    border = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=m)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return {
+        "A": A,
+        "a2": a2,
+        "Cb": np.ascontiguousarray(C[border]),
+        "cellsb": cells[border],
+        "c2b": c2[border],
+        "offs": offs,
+    }
+
+
+def shortlist_assign_vectorized(
+    spark: SparkSession,
+    base: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    nprobe: int = SEM_NPROBE,
+) -> DataFrame:
+    """One shortlist Lloyd's assignment with numpy batch scoring — the
+    vectorized twin of ``semantic.shortlist_assign`` (same anchors,
+    buckets, probes, and tie-breaks; see the module docstring for why
+    the arithmetic differs in ulps and how that is tested).
+
+    Plan: broadcast the centroid index, then ``mapInPandas`` over
+    ``base`` — each Arrow batch computes a B×m anchor GEMM, groups its
+    rows by probed anchor, and runs one GEMM per (batch, anchor) group
+    against that anchor's contiguous centroid block. Zero shuffle; the
+    only data movement is the one-time index broadcast."""
+    idx = _centroid_index(centroids, m)
+    bc = spark.sparkContext.broadcast(idx)
+    nprobe_eff = min(nprobe, len(idx["a2"]))
+
+    out_schema = StructType(
+        [
+            base.schema["vec_id"],
+            StructField("v", ArrayType(DoubleType()), True),
+            StructField("cell", IntegerType(), True),
+        ]
+    )
+
+    def assign(batches):
+        st = bc.value
+        A, a2 = st["A"], st["a2"]
+        Cb, cellsb, c2b, offs = st["Cb"], st["cellsb"], st["c2b"], st["offs"]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            v2 = np.einsum("ij,ij->i", V, V)
+            d2a = v2[:, None] - 2.0 * (V @ A.T) + a2[None, :]
+            probes = np.argsort(d2a, axis=1, kind="stable")[:, :nprobe_eff]
+            B = V.shape[0]
+            best_d2 = np.full(B, np.inf)
+            best_cell = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+            rows_r = np.repeat(np.arange(B), nprobe_eff)
+            anch_r = probes.ravel()
+            o = np.argsort(anch_r, kind="stable")
+            rows_r, anch_r = rows_r[o], anch_r[o]
+            uanch, start = np.unique(anch_r, return_index=True)
+            bounds = np.append(start, anch_r.size)
+            for ui, a in enumerate(uanch):
+                lo, hi = offs[a], offs[a + 1]
+                if hi == lo:
+                    continue
+                r = rows_r[bounds[ui] : bounds[ui + 1]]
+                D = (
+                    v2[r][:, None]
+                    - 2.0 * (V[r] @ Cb[lo:hi].T)
+                    + c2b[lo:hi][None, :]
+                )
+                j = D.argmin(axis=1)
+                d2 = D[np.arange(r.size), j]
+                cl = cellsb[lo:hi][j]
+                cur_d2, cur_cl = best_d2[r], best_cell[r]
+                better = (d2 < cur_d2) | ((d2 == cur_d2) & (cl < cur_cl))
+                rb = r[better]
+                best_d2[rb] = d2[better]
+                best_cell[rb] = cl[better]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "v": pdf["v"].values,
+                    "cell": best_cell.astype(np.int32),
+                }
+            )
+
+    return base.mapInPandas(assign, out_schema)
+
+
+def mark_within_cell_dups_vectorized(assigned: DataFrame, tau: float) -> DataFrame:
+    """SemDeDup's within-cell pair stage as one per-cell GEMM — the
+    vectorized twin of ``semantic.mark_within_cell_dups`` (same
+    semantics: a vector is a dup iff a LOWER-vec_id cell-mate has
+    cosine ≥ tau; zero-norm vectors are never dups, matching the fold
+    path's NULL-comparison behavior).
+
+    One shuffle (groupBy cell — n skinny rows, the stage's unavoidable
+    exchange), then ``applyInPandas`` sorts each cell by vec_id,
+    normalizes once, and walks the Gram product in row blocks so a
+    pathologically popular cell costs O(block·|cell|) memory, not
+    O(|cell|²)."""
+    out_schema = StructType(
+        [
+            assigned.schema["vec_id"],
+            StructField("cell_id", IntegerType(), True),
+            StructField("is_semantic_dup", BooleanType(), False),
+        ]
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        safe = np.where(nrm == 0.0, 1.0, nrm)
+        N = V / safe[:, None]
+        N[nrm == 0.0] = 0.0  # zero vectors match nothing (cos := 0 < tau)
+        n = N.shape[0]
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(1, n, _PAIR_BLOCK_ROWS):
+            hi = min(lo + _PAIR_BLOCK_ROWS, n)
+            G = N[lo:hi] @ N[:hi].T
+            hits = G >= tau
+            # only columns j < row index i count (lower vec_id after the sort)
+            mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            dup[lo:hi] = (hits & mask).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].values,
+                "cell_id": pdf["cell"].astype(np.int32).values,
+                "is_semantic_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+
+
+def semantic_dedup_sampled_vectorized(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    iters: int = N_ITERS,
+    tau: float = TAU,
+    nprobe: int = SEM_NPROBE,
+    sample_per_cell: int = SAMPLE_PER_CELL,
+) -> DataFrame:
+    """``semantic.semantic_dedup_sampled`` with every fold-scored stage
+    swapped for its vectorized twin: sample-trained Lloyd's (same seeds,
+    same deterministic md5-threshold sample, same exact-decimal centroid
+    update) with numpy shortlist assignment, one vectorized full-corpus
+    assignment, and the per-cell GEMM pair scan. Library-only (no
+    registered entry / no oracle — the ulp-order caveat in the module
+    docstring); the production path for ≥10M-row corpora where the fold
+    arithmetic is the measured wall."""
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    n = base.count()
+    sample = training_sample(base, n, k, sample_per_cell)
+    if sample is not base:
+        sample = sample.persist()
+    centroids = _seed_centroids(spark, base, k)
+    m = coarse_m(k)
+    for _ in range(iters - 1):
+        assigned_s = shortlist_assign_vectorized(spark, sample, centroids, m, nprobe)
+        centroids = _materialize_centroids(spark, kmeans_update(assigned_s))
+    final = shortlist_assign_vectorized(spark, base, centroids, m, nprobe)
+    return mark_within_cell_dups_vectorized(final, tau)

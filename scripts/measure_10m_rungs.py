@@ -23,7 +23,11 @@ overrun preserves everything finished):
 Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
            [n_docs] [corpus_dir] [steps]
        (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
-        steps is a comma list from {pca,volume,semantic,ivfneg})
+        steps is a comma list from {pca,volume,semantic,semanticvec,ivfneg};
+        semanticvec — r7's vectorized scoring twin
+        (operators/semantic_vectorized.py), the measured escape from the
+        interpreted-fold wall — is NOT in the default step set: run it
+        explicitly)
 """
 
 from __future__ import annotations
@@ -164,6 +168,35 @@ def main() -> None:
                 "k": derive_k(n_docs),
             }
         )
+
+    if "semanticvec" in steps:
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import derive_k
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic_vectorized import (
+            semantic_dedup_sampled_vectorized,
+        )
+
+        obs = Observation("semanticvec_rows")
+        t0 = time.time()
+        flagged = (
+            semantic_dedup_sampled_vectorized(spark, emb, k=derive_k(n_docs), tau=0.95)
+            .filter(F.col("is_semantic_dup"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        run(flagged)
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "semantic_dedup_sampled_vectorized",
+                "n_docs": n_docs,
+                "seconds": round(dt, 2),
+                "rows": int(obs.get["n"]),
+                "planted_pairs": n_docs // 20,
+                "k": derive_k(n_docs),
+            }
+        )
+        spark.catalog.clearCache()
 
     if "ivfneg" in steps and (deadline is None or time.time() < deadline):
         from pyspark.sql import Observation
