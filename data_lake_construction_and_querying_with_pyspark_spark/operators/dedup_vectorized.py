@@ -1,0 +1,207 @@
+"""Vectorized (numpy-over-Arrow) scoring twin for the embedding
+near-dup band pool.
+
+Companion to ``operators/semantic_vectorized.py`` (read its module
+docstring for the shared contract): the oracle-checked
+``dedup_embedding_cosine_pairs`` scores every band-bucket candidate
+with the interpreted sequential-fold cosine inside the (tbl, bucket)
+self-join. That shape is measured sublinear to 1M, but the 10M volume
+probe (docs/SCALING.md, r7) put the production 8×16 geometry at
+1.275×10¹⁰ candidate evals — **>11 h on this box at the measured fold
+throughput**, which is why the ≥10M hard-negative source moved to IVF
+lists. This twin removes that wall a second way: group the bucket
+rows and run ONE blocked GEMM per (tbl, bucket) under
+``applyInPandas`` instead of forming candidate rows at all.
+
+Why this is the right 100 TB shape:
+
+* the candidate pairs NEVER materialize — the self-join's
+  per-key-quadratic output (the volume the probe counted) becomes
+  per-bucket matrix arithmetic; what crosses the Arrow boundary is the
+  bucket MEMBERS (n·n_tables rows), not the pairs;
+* the one shuffle is the groupBy (tbl, bucket) exchange — n·n_tables
+  rows with the vector riding along, the same ~linear volume the fold
+  path's ``heavy`` frame already carried into its self-join;
+* BLAS GEMM sustains orders of magnitude more multiply-adds per second
+  than the interpreted fold (the measured wall: ~8×10⁵ fold-d2/s
+  box-wide), so Σ C(bucket, 2)·d arithmetic stops being the bottleneck;
+* the per-bucket Gram walk is row-blocked (block·|bucket| memory, not
+  |bucket|²), so a hot bucket degrades gracefully — though the
+  log n-scaled band width (16+ bits at 10M) is still what keeps
+  buckets small; this twin fixes the ARITHMETIC wall, not a saturated
+  8-bit geometry.
+
+Arithmetic caveat (same as the semantic twins): cosines come from
+normalized-vector GEMMs, whose summation order differs from the fold
+in final ulps — and the SAME pair surviving in two tables can score
+ulp-differently because dgemm blocking depends on matrix shape, so
+cross-table dedup aggregates ``max(cosine)`` per pair instead of
+relying on bitwise-equal rows. Library-only, recall/agreement-tested
+against the fold operator (tests/test_dedup_vectorized.py); the
+registered entry keeps the fold + DuckDB oracle.
+
+Reference parity: the reference repo has no dedup surface (SURVEY.md
+§2.7 — this family is part of the required training-data-pipeline
+extension); geometry and thresholds follow the registered operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+    _hyperplanes,
+    as_double_vec,
+)
+
+_PAIR_BLOCK_ROWS = 1024  # row-block for the per-bucket Gram walk (memory ∝ block·|bucket|)
+
+
+def lsh_buckets_vectorized(
+    spark: SparkSession,
+    e: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    seed: int = 7,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Flat (vec_id, tbl, bucket, nv) band rows with the sign bits
+    computed as ONE (batch × all-planes) GEMM per Arrow batch — the
+    vectorized twin of ``similarity.lsh_multi_buckets_flat`` (same
+    ``_hyperplanes`` constants, same bit/bucket layout, so buckets
+    agree with the fold form except when a projection sits within ulps
+    of zero). The kernel also NORMALIZES in the same pass (signs are
+    scale-invariant; zero-norm vectors map to the zero vector, whose
+    cosine is 0 everywhere — the fold path's NULL-comparison behavior)
+    so the downstream verify GEMM is a plain Gram product. The
+    normalized vector rides along because the per-bucket verify needs
+    it; zero shuffle here — the groupBy downstream pays the one
+    exchange."""
+    first = e.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"] if first else 0
+    P = np.array(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in _hyperplanes(dim, n_planes, seed + 1000 * t)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*n_planes) × dim
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+    bc = spark.sparkContext.broadcast(P)
+
+    out_schema = StructType(
+        [
+            e.schema["vec_id"],
+            StructField("tbl", IntegerType(), False),
+            StructField("bucket", IntegerType(), False),
+            StructField("nv", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def bucketize(batches):
+        planes = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ planes.T) > 0.0  # B × (tables·planes)
+            bkt = (
+                bits.reshape(-1, n_tables, n_planes) * weights[None, :, :]
+            ).sum(axis=2)  # B × tables
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            N = V / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            N[nrm == 0.0] = 0.0
+            B = V.shape[0]
+            nv_obj = np.empty(B, dtype=object)  # 1-D object array of row views
+            for i in range(B):                  # (np.asarray(list) would go 2-D)
+                nv_obj[i] = N[i]
+            nv_rep = np.repeat(nv_obj, n_tables)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), B),
+                    "bucket": bkt.astype(np.int32).ravel(),
+                    "nv": nv_rep,
+                }
+            )
+
+    return e.select("vec_id", vec_col).mapInPandas(bucketize, out_schema)
+
+
+def embedding_cosine_pairs_vectorized(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at the production band geometry with
+    GEMM scoring — the vectorized twin of
+    ``dedup.embedding_cosine_pairs_scaled`` (same hyperplanes, same
+    candidate semantics: a pair is scored iff it shares any table's
+    bucket; same strict ``cosine > tau``; output (vec_a < vec_b,
+    cosine)).
+
+    Stages: band rows + in-kernel normalization via
+    ``lsh_buckets_vectorized`` (zero shuffle, no JVM fold anywhere),
+    ONE groupBy (tbl, bucket) exchange, then per-bucket blocked Gram
+    products emitting only surviving pairs; cross-table dedup via
+    max(cosine) per pair (see the module docstring for why not
+    ``.distinct()``)."""
+    base = emb.select("vec_id", as_double_vec(F.col(vec_col)).alias("v"))
+    flat = lsh_buckets_vectorized(spark, base, n_tables, n_planes, seed)
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", flat.schema["vec_id"].dataType, True),
+            StructField("vec_b", flat.schema["vec_id"].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].values
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0], "cosine": []})
+        N = np.array(pdf["nv"].tolist(), dtype=np.float64)
+        a_out, b_out, c_out = [], [], []
+        for lo in range(1, n, _PAIR_BLOCK_ROWS):
+            hi = min(lo + _PAIR_BLOCK_ROWS, n)
+            G = N[lo:hi] @ N[:hi].T
+            mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            r, c = np.nonzero((G > tau) & mask)
+            if r.size:
+                a_out.append(ids[c])
+                b_out.append(ids[r + lo])
+                c_out.append(G[r, c])
+        if not a_out:
+            return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0], "cosine": []})
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(a_out),
+                "vec_b": np.concatenate(b_out),
+                "cosine": np.concatenate(c_out),
+            }
+        )
+
+    return (
+        flat.groupBy("tbl", "bucket")
+        .applyInPandas(per_bucket, out_schema)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )

@@ -23,7 +23,8 @@ overrun preserves everything finished):
 Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
            [n_docs] [corpus_dir] [steps]
        (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
-        steps is a comma list from {pca,volume,semantic,semanticvec,ivfneg};
+        steps is a comma list from
+        {pca,volume,semantic,semanticvec,bandpoolvec,ivfneg};
         semanticvec — r7's vectorized scoring twin
         (operators/semantic_vectorized.py), the measured escape from the
         interpreted-fold wall — is NOT in the default step set: run it
@@ -194,6 +195,66 @@ def main() -> None:
                 "rows": int(obs.get["n"]),
                 "planted_pairs": n_docs // 20,
                 "k": derive_k(n_docs),
+            }
+        )
+        spark.catalog.clearCache()
+
+    if "bandpoolvec" in steps:
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+            _CLONE_MOD,
+            _CLONE_OFF,
+            _SCALED_PLANES,
+            _SCALED_TABLES,
+            _SCALED_TAU,
+        )
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
+            embedding_cosine_pairs_vectorized,
+        )
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            as_double_vec,
+        )
+
+        # The registered entry's own planted ground truth at 10M: every
+        # 50th vector gains a +0.01-nudged clone (cosine ≈ 0.9998), so
+        # the expected output is exactly n/_CLONE_MOD pairs. This is the
+        # pool the fold-throughput volume probe priced at >11 h
+        # (1.275e10 candidate evals) — the number under test is the
+        # per-bucket GEMM's wall for the same candidate set.
+        base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
+        clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+            (F.col("vec_id") + F.lit(_CLONE_OFF * 100)).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+        )
+        aug = base.unionByName(clones)
+        # rows also include scale_probe's own planted dup pairs (the
+        # (2k, 2k+1) groups with cosine ≈ 1 — absent from the sf
+        # fixtures the registered entry runs on), so clone recovery is
+        # counted explicitly alongside the total.
+        clone_hit = (F.col("vec_b") == F.col("vec_a") + _CLONE_OFF * 100) & (
+            F.col("vec_a") % _CLONE_MOD == 0
+        )
+        obs = Observation("bandpool_rows")
+        t0 = time.time()
+        pairs = embedding_cosine_pairs_vectorized(
+            spark, aug, tau=_SCALED_TAU, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(clone_hit, 1)).alias("clone_hits"),
+        )
+        run(pairs)
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "bandpool_pairs_vectorized",
+                "n_docs": n_docs,
+                "seconds": round(dt, 2),
+                "rows": int(obs.get["n"]),
+                "planted_clones_recovered": int(obs.get["clone_hits"]),
+                "planted_clones": n_docs // _CLONE_MOD,
+                "geometry": f"{_SCALED_TABLES}x{_SCALED_PLANES}",
             }
         )
         spark.catalog.clearCache()
