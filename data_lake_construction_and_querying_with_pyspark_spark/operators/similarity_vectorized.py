@@ -1,0 +1,168 @@
+"""Vectorized (numpy-over-Arrow) scoring twin for the IVF-pool
+hard-negative triplet miner.
+
+Third member of the r7 vectorized-twin family (read
+``operators/semantic_vectorized.py`` for the shared contract and
+``operators/dedup_vectorized.py`` for the band-pool member). The fold
+miner ``similarity.hard_negative_triplets_ivf`` is the documented
+≥100M negative source, but at the 10M rung its ONE full-corpus
+shortlist assignment pays the same ~1.6×10¹⁰ interpreted fold dots as
+SemDeDup (~5.5 h on this box — docs/SCALING.md "The 10M SemDeDup
+wall"), and its positives band join and cell self-join are fold-scored
+too. This twin keeps every semantic (same positive-pair contract, same
+deterministic quantizer lineage — seeds, sample draw, exact-decimal
+centroid update — same inverted-list negative pool, same hardest-mate
+tie-break: cosine DESC then LOWEST nbr_id, the fold's
+``max_by(struct(nbr_id, cosine), struct(cosine, -nbr_id))``) and
+replaces every fold scorer:
+
+* positives: the per-bucket GEMM pair scan
+  (``dedup_vectorized.embedding_cosine_pairs_vectorized`` — identical
+  pair semantics to ``similarity._positive_pairs``);
+* quantizer training + full assignment:
+  ``semantic_vectorized.shortlist_assign_vectorized`` (broadcast
+  centroid index, in-place assignment, zero shuffle — the salted-join
+  skew surface is gone, not salted);
+* negatives: one row-blocked Gram product per INVERTED LIST under
+  ``applyInPandas`` — candidates never materialize; the exchange
+  carries n cell-keyed member rows, and cell population is k-means
+  balanced (~TARGET_CELL), so candidate arithmetic is ~TARGET_CELL·n.
+
+Same library-only status as the other twins: BLAS summation order
+differs from the fold in final ulps, and the twin-trained quantizer's
+cell boundaries drift accordingly, so output is agreement/contract-
+tested against the fold miner (tests/test_similarity_vectorized.py),
+never hash-checked; the registered ``hard_negative_mining`` entry and
+the fold miner keep their oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
+    embedding_cosine_pairs_vectorized,
+)
+from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
+    IVF_ITERS,
+    IVF_MIN_CELLS,
+    SEM_NPROBE,
+    TARGET_CELL,
+    _materialize_centroids,
+    _seed_centroids,
+    coarse_m,
+    kmeans_update,
+    training_sample,
+)
+from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic_vectorized import (
+    shortlist_assign_vectorized,
+)
+from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+    _IVF_SAMPLE_TRAIN_MIN,
+    as_double_vec,
+)
+
+_NEG_BLOCK_ROWS = 1024  # row-block for the per-cell hardest-mate Gram walk
+
+
+def hardest_negatives_per_cell(assigned: DataFrame, tau: float) -> DataFrame:
+    """(anchor_id, neg_id, neg_cosine): for every vector, the
+    highest-cosine SUB-THRESHOLD (≤ tau) mate inside its inverted
+    list, lowest nbr_id on cosine ties — the fold miner's cell
+    self-join + ``_hardest_neg`` argmax as one blocked Gram walk per
+    cell. Anchors alone in their cell (or whose every mate is a
+    super-threshold near-dup) emit nothing, matching the fold's honest
+    approximate coverage."""
+    out_schema = StructType(
+        [
+            StructField("anchor_id", assigned.schema["vec_id"].dataType, True),
+            StructField("neg_id", assigned.schema["vec_id"].dataType, True),
+            StructField("neg_cosine", DoubleType(), True),
+        ]
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].values
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"anchor_id": ids[:0], "neg_id": ids[:0], "neg_cosine": []}
+            )
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        zero = nrm == 0.0
+        N = V / np.where(zero, 1.0, nrm)[:, None]
+        N[zero] = 0.0
+        best_c = np.full(n, -np.inf)
+        best_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        for lo in range(0, n, _NEG_BLOCK_ROWS):
+            hi = min(lo + _NEG_BLOCK_ROWS, n)
+            G = N[lo:hi] @ N.T
+            rows = np.arange(lo, hi)
+            G[np.arange(hi - lo), rows] = np.inf  # self never eligible
+            G[:, zero] = np.inf  # zero-norm mate: fold cosine is NULL, never a negative
+            G[G > tau] = -np.inf  # super-threshold mates are positives, not negatives
+            j = G.argmax(axis=1)  # first occurrence = lowest nbr_id on ties
+            c = G[np.arange(hi - lo), j]
+            cand_id = ids[j]
+            better = (c > best_c[rows]) | ((c == best_c[rows]) & (cand_id < best_id[rows]))
+            rb = rows[better]
+            best_c[rb] = c[better]
+            best_id[rb] = cand_id[better]
+        # zero-norm ANCHORS emit nothing either (their fold cosines are
+        # all NULL), and -inf marks anchors with no eligible mate
+        keep = np.isfinite(best_c) & ~zero
+        return pd.DataFrame(
+            {
+                "anchor_id": ids[keep],
+                "neg_id": best_id[keep],
+                "neg_cosine": best_c[keep],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+
+
+def hard_negative_triplets_ivf_vectorized(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    train_on_sample: bool | None = None,
+) -> DataFrame:
+    """``similarity.hard_negative_triplets_ivf`` with every fold scorer
+    swapped for its GEMM twin (module docstring). Output schema and
+    contract identical: (anchor_id, pos_id, pos_cosine, neg_id,
+    neg_cosine) with pos_cosine > tau ≥ neg_cosine, negatives from the
+    anchor's own inverted list."""
+    pos = embedding_cosine_pairs_vectorized(
+        spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes
+    ).select(
+        F.col("vec_a").alias("anchor_id"),
+        F.col("vec_b").alias("pos_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    n = base.count()
+    k_cells = max(IVF_MIN_CELLS, n // TARGET_CELL)
+    if train_on_sample is None:
+        train_on_sample = n >= _IVF_SAMPLE_TRAIN_MIN
+    train = training_sample(base, n, k_cells) if train_on_sample else base
+    if train is not base:
+        train = train.persist()
+    centroids = _seed_centroids(spark, base, k_cells)
+    m = coarse_m(k_cells)
+    for _ in range(IVF_ITERS - 1):
+        assigned_t = shortlist_assign_vectorized(spark, train, centroids, m, SEM_NPROBE)
+        centroids = _materialize_centroids(spark, kmeans_update(assigned_t))
+    assigned = shortlist_assign_vectorized(spark, base, centroids, m, SEM_NPROBE)
+
+    neg = hardest_negatives_per_cell(assigned, tau)
+    return pos.join(neg, "anchor_id")

@@ -24,7 +24,7 @@ Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
            [n_docs] [corpus_dir] [steps]
        (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
         steps is a comma list from
-        {pca,volume,semantic,semanticvec,bandpoolvec,ivfneg};
+        {pca,volume,semantic,semanticvec,bandpoolvec,ivfneg,ivfnegvec};
         semanticvec — r7's vectorized scoring twin
         (operators/semantic_vectorized.py), the measured escape from the
         interpreted-fold wall — is NOT in the default step set: run it
@@ -296,6 +296,42 @@ def main() -> None:
                 "planted_pairs": n_docs // 20,
             }
         )
+
+    if "ivfnegvec" in steps:
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity_vectorized import (
+            hard_negative_triplets_ivf_vectorized,
+        )
+
+        planted = F.pmod((F.col("anchor_id") / 2).cast("long"), 20) < 2
+        partner = F.col("anchor_id").bitwiseXOR(F.lit(1))
+        obs = Observation("ivfnegvec_rows")
+        # Positives keep the log-n geometry of the fold step (20-bit at
+        # ≥10M); every scorer is the GEMM twin, so the fine-grained
+        # band volume is no longer the constraint it was for the fold.
+        pos_planes = 20 if n_docs >= 10_000_000 else 16
+        t0 = time.time()
+        trip = hard_negative_triplets_ivf_vectorized(
+            spark, emb, tau=0.9, n_planes=pos_planes
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(planted & (F.col("pos_id") == partner), 1)).alias("hits"),
+        )
+        run(trip)
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "hard_negative_mining_ivfpool_vectorized",
+                "n_docs": n_docs,
+                "seconds": round(dt, 2),
+                "rows": int(obs.get["n"]),
+                "planted_pos_recovered": int(obs.get["hits"]),
+                "planted_pairs": n_docs // 20,
+            }
+        )
+        spark.catalog.clearCache()
 
     emit({"op": "done", "n_docs": n_docs})
 
