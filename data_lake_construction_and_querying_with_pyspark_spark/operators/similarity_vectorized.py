@@ -40,12 +40,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
     embedding_cosine_pairs_vectorized,
+    lsh_buckets_vectorized,
 )
 from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
     IVF_ITERS,
@@ -126,6 +127,80 @@ def hardest_negatives_per_cell(assigned: DataFrame, tau: float) -> DataFrame:
         )
 
     return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+
+
+def knn_graph_edges_vectorized(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 3,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate kNN-graph edges with GEMM scoring — the vectorized
+    twin of ``similarity.knn_graph_edges`` (same bands via the shared
+    hyperplanes, same directional candidates, same output contract:
+    (vec_id, nbr_id, cosine, edge_rank) ranked by (cosine DESC,
+    nbr_id ASC)).
+
+    Shape: band rows from ``lsh_buckets_vectorized`` (zero shuffle),
+    then a per-(tbl, bucket) blocked Gram walk that emits only each
+    member's LOCAL top-k — the candidate multiset never materializes,
+    and the exchange after the buckets carries ≤ n·n_tables·k skinny
+    rows (the fold path's WindowGroupLimit guarantee, enforced in the
+    kernel instead). Local top-k prune is lossless for the global
+    (cosine DESC, nbr_id) order: a stable argsort on negated cosines
+    over id-ascending columns IS that composite order, per bucket; the
+    cross-table ``max(cosine)`` dedup and the final window then merge
+    per-bucket winners exactly like the fold's distinct + window.
+    Same ulp caveat as every twin (dgemm vs fold summation order), so
+    equality is pinned by test on the planted corpus, not by oracle."""
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    flat = lsh_buckets_vectorized(spark, base, n_tables, n_planes, seed)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", flat.schema["vec_id"].dataType, True),
+            StructField("nbr_id", flat.schema["vec_id"].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].values
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_id": ids[:0], "nbr_id": ids[:0], "cosine": []})
+        N = np.array(pdf["nv"].tolist(), dtype=np.float64)
+        kk = min(k, n - 1)
+        src, dst, cos = [], [], []
+        for lo in range(0, n, _NEG_BLOCK_ROWS):
+            hi = min(lo + _NEG_BLOCK_ROWS, n)
+            G = N[lo:hi] @ N.T
+            G[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self
+            # stable argsort of -cosine over id-ascending columns ==
+            # the fold's (cosine DESC, nbr_id ASC) window order
+            top = np.argsort(-G, axis=1, kind="stable")[:, :kk]
+            c = np.take_along_axis(G, top, axis=1).ravel()
+            keep = np.isfinite(c)
+            src.append(np.repeat(ids[lo:hi], kk)[keep])
+            dst.append(ids[top.ravel()][keep])
+            cos.append(c[keep])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(src),
+                "nbr_id": np.concatenate(dst),
+                "cosine": np.concatenate(cos),
+            }
+        )
+
+    local = flat.groupBy("tbl", "bucket").applyInPandas(per_bucket, out_schema)
+    merged = local.groupBy("vec_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return merged.withColumn("edge_rank", F.row_number().over(w).cast("int")).filter(
+        F.col("edge_rank") <= k
+    )
 
 
 def hard_negative_triplets_ivf_vectorized(

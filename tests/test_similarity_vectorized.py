@@ -106,6 +106,35 @@ def test_hardest_negative_kernel_tiebreak_and_exclusions(spark):
     assert out[13][0] == 11
 
 
+def test_knn_graph_edges_match_fold(spark):
+    """Planted corpus, production geometry, k=3: the GEMM graph twin
+    must emit the identical (vec_id, nbr_id, edge_rank) edge list as
+    ``knn_graph_edges`` with cosines within 1e-12 — the per-bucket
+    local top-k prune is lossless for the global (cosine DESC, nbr_id)
+    order, and this pins it."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+        knn_graph_edges,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity_vectorized import (
+        knn_graph_edges_vectorized,
+    )
+
+    corpus = _planted_corpus(spark).persist()
+    kw = dict(k=3, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES)
+    fold = {
+        (r.vec_id, r.nbr_id, r.edge_rank): r.cosine
+        for r in knn_graph_edges(spark, corpus, **kw).collect()
+    }
+    vec = {
+        (r.vec_id, r.nbr_id, r.edge_rank): r.cosine
+        for r in knn_graph_edges_vectorized(spark, corpus, **kw).collect()
+    }
+    assert set(fold) == set(vec) and fold
+    assert all(abs(fold[e] - vec[e]) < 1e-12 for e in fold)
+    corpus.unpersist()
+    spark.catalog.clearCache()
+
+
 def test_single_member_cells_emit_nothing(spark):
     rows = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)]
     assigned = spark.createDataFrame(rows, "vec_id long, v array<double>, cell int")
