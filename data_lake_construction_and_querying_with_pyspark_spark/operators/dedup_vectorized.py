@@ -205,3 +205,35 @@ def embedding_cosine_pairs_vectorized(
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cosine").alias("cosine"))
     )
+
+
+def canonical_corpus_embeddings_vectorized(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """The embedding ladder's end-to-end deliverable with GEMM scoring
+    — the vectorized twin of the registered
+    ``dedup_canonical_corpus_embeddings`` composition, over an
+    arbitrary (vec_id, embedding) corpus: near-dup pairs (per-bucket
+    GEMM verify above) → connected components (``dedup.py`` — driver
+    union-find under its gate, distributed min-label iteration above)
+    → keep-min-id → surviving ids by anti-join. The pair stage is the
+    only scorer, so the twin caveats live entirely there; components
+    and the anti-join are the same exact machinery the oracle-checked
+    entry runs. Returns the surviving (vec_id) frame."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = embedding_cosine_pairs_vectorized(
+        spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes, seed=seed
+    ).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    drop = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("vec_id")
+    )
+    return emb.select("vec_id").join(drop, "vec_id", "left_anti")

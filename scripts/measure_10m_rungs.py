@@ -24,7 +24,7 @@ Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
            [n_docs] [corpus_dir] [steps]
        (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
         steps is a comma list from
-        {pca,volume,semantic,semanticvec,bandpoolvec,ivfneg,ivfnegvec};
+        {pca,volume,semantic,semanticvec,bandpoolvec,ivfneg,ivfnegvec,canonvec};
         semanticvec — r7's vectorized scoring twin
         (operators/semantic_vectorized.py), the measured escape from the
         interpreted-fold wall — is NOT in the default step set: run it
@@ -296,6 +296,49 @@ def main() -> None:
                 "planted_pairs": n_docs // 20,
             }
         )
+
+    if "canonvec" in steps:
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+            _CLONE_MOD,
+            _CLONE_OFF,
+            _SCALED_PLANES,
+            _SCALED_TABLES,
+            _SCALED_TAU,
+        )
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
+            canonical_corpus_embeddings_vectorized,
+        )
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+            as_double_vec,
+        )
+
+        # End-to-end deliverable at 10M: pairs → components → keep-list
+        # → anti-join. Sharp invariant on this corpus: survivors are
+        # exactly the even members of planted dup groups plus every
+        # unpaired base vector — n − n/20 rows — with all clones and odd
+        # dup members dropped.
+        base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
+        clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+            (F.col("vec_id") + F.lit(_CLONE_OFF * 100)).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+        )
+        aug = base.unionByName(clones)
+        t0 = time.time()
+        survivors = canonical_corpus_embeddings_vectorized(
+            spark, aug, tau=_SCALED_TAU,
+            n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES,
+        ).count()
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "canonical_corpus_vectorized",
+                "n_docs": n_docs,
+                "seconds": round(dt, 2),
+                "survivors": survivors,
+                "expected_survivors": n_docs - n_docs // 20,
+            }
+        )
+        spark.catalog.clearCache()
 
     if "ivfnegvec" in steps:
         from pyspark.sql import Observation

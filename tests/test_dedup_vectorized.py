@@ -93,6 +93,29 @@ def test_pairs_match_fold_operator_on_planted_corpus(spark):
     spark.catalog.clearCache()
 
 
+def test_canonical_corpus_matches_fold_deliverable(spark):
+    """End-to-end composition on the planted corpus: the vectorized
+    canonical corpus must keep exactly the base vectors (every clone
+    clusters with its lower-id original and drops) — the same sharp
+    invariant the oracle-checked entry hash-pins."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
+        canonical_corpus_embeddings_vectorized,
+    )
+
+    aug = _planted_corpus(spark).persist()
+    survivors = {
+        r["vec_id"]
+        for r in canonical_corpus_embeddings_vectorized(
+            spark, aug, tau=dd._SCALED_TAU,
+            n_tables=dd._SCALED_TABLES, n_planes=dd._SCALED_PLANES,
+        ).collect()
+    }
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert survivors == set(range(n))
+    aug.unpersist()
+    spark.catalog.clearCache()
+
+
 def test_zero_norm_vector_pairs_with_nothing(spark):
     """A zero vector shares bucket 0 of every table with other
     non-positive-projection vectors but must never emit a pair (its
