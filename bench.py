@@ -110,10 +110,35 @@ def main() -> None:
         run(df)
         return time.time() - t0
 
+    # All-core twin of the probe (r7): this session measured the
+    # single-thread probe IMPROVING 35% while the 32-thread headline
+    # suite regressed 45% on unchanged code — a shared-host shape
+    # (better single-core burst, worse sustained all-core throughput)
+    # the 1-thread loop cannot see. A constant 12.8G-row range→mod-agg
+    # across 32 partitions pins the sustained all-core JVM rate; read
+    # the suite against THIS probe when the two disagree.
+    def calibration_parallel_once() -> float:
+        t0 = time.time()
+        df = (
+            spark.range(0, 12_800_000_000, 1, 32)
+            .select(
+                F.pmod(  # xor mix: ANSI-safe (multiplication overflows)
+                    F.shiftright(F.col("id").bitwiseXOR(F.lit(0x5DEECE66D)), 3)
+                    + F.col("id"),
+                    F.lit(999983),
+                ).alias("h")
+            )
+            .agg(F.sum("h").alias("s"))
+        )
+        run(df)
+        return time.time() - t0
+
     calib = float("inf")
+    calib_par = float("inf")
     for _ in range(2):
         settle()
         calib = min(calib, calibration_once())
+        calib_par = min(calib_par, calibration_parallel_once())
 
     # Best-of-2 per query: the first execution of each operator family
     # JIT-compiles its codegen paths; the second run measures the
@@ -140,6 +165,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "calibration_seconds": round(calib, 3),
+                "calibration_parallel_seconds": round(calib_par, 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
