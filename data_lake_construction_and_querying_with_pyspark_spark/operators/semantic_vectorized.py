@@ -24,6 +24,13 @@ sequential fold in final ulps, so results can legitimately flip on
 exact-distance ties: the twins are therefore RECALL/AGREEMENT-tested
 against the fold path (tests/test_semantic_vectorized.py), never
 hash-checked, and the oracle-bearing registered entries keep the fold.
+Sharper than "differs from the fold": BLAS blocking depends on matrix
+HEIGHT, so the twin is deterministic only at FIXED batch geometry
+(input partitioning + ``arrow.maxRecordsPerBatch``) — measured
+directly in the r7 batch-size A/B (scripts/measure_arrow_batch.py):
+changing the batch height flipped exactly one near-tie assignment in
+2M. The same A/B measured larger batches SLOWER (10k: 27.2 s, 32k:
+51.5 s, 64k: 64.4 s at the 2M rung), so the Spark default stands.
 Use the fold path when cross-engine replayability is the contract; use
 this twin when wall-clock at ≥10M rows is.
 
