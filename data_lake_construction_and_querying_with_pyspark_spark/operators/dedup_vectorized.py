@@ -139,6 +139,31 @@ def lsh_buckets_vectorized(
     return e.select("vec_id", vec_col).mapInPandas(bucketize, out_schema)
 
 
+def pairs_above_tau_kernel(ids, N, tau):
+    """Pure-numpy bucket kernel: all (lower-id, higher-id, cosine)
+    pairs with cosine STRICTLY above tau among normalized rows ``N``
+    (ids ascending, rows aligned). Module-level so the property tests
+    can drive it against a brute-force reference without a Spark
+    round trip per example (tests/test_vectorized_kernels.py); the
+    ``applyInPandas`` wrapper above is a thin adapter."""
+    n = len(ids)
+    if n < 2:
+        return ids[:0], ids[:0], np.array([], dtype=np.float64)
+    a_out, b_out, c_out = [], [], []
+    for lo in range(1, n, _PAIR_BLOCK_ROWS):
+        hi = min(lo + _PAIR_BLOCK_ROWS, n)
+        G = N[lo:hi] @ N[:hi].T
+        mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+        r, c = np.nonzero((G > tau) & mask)
+        if r.size:
+            a_out.append(ids[c])
+            b_out.append(ids[r + lo])
+            c_out.append(G[r, c])
+    if not a_out:
+        return ids[:0], ids[:0], np.array([], dtype=np.float64)
+    return np.concatenate(a_out), np.concatenate(b_out), np.concatenate(c_out)
+
+
 def embedding_cosine_pairs_vectorized(
     spark: SparkSession,
     emb: DataFrame,
@@ -175,29 +200,9 @@ def embedding_cosine_pairs_vectorized(
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].values
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0], "cosine": []})
         N = np.array(pdf["nv"].tolist(), dtype=np.float64)
-        a_out, b_out, c_out = [], [], []
-        for lo in range(1, n, _PAIR_BLOCK_ROWS):
-            hi = min(lo + _PAIR_BLOCK_ROWS, n)
-            G = N[lo:hi] @ N[:hi].T
-            mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
-            r, c = np.nonzero((G > tau) & mask)
-            if r.size:
-                a_out.append(ids[c])
-                b_out.append(ids[r + lo])
-                c_out.append(G[r, c])
-        if not a_out:
-            return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0], "cosine": []})
-        return pd.DataFrame(
-            {
-                "vec_a": np.concatenate(a_out),
-                "vec_b": np.concatenate(b_out),
-                "cosine": np.concatenate(c_out),
-            }
-        )
+        a, b, c = pairs_above_tau_kernel(ids, N, tau)
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": c})
 
     return (
         flat.groupBy("tbl", "bucket")

@@ -161,42 +161,11 @@ def shortlist_assign_vectorized(
 
     def assign(batches):
         st = bc.value
-        A, a2 = st["A"], st["a2"]
-        Cb, cellsb, c2b, offs = st["Cb"], st["cellsb"], st["c2b"], st["offs"]
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
-            v2 = np.einsum("ij,ij->i", V, V)
-            d2a = v2[:, None] - 2.0 * (V @ A.T) + a2[None, :]
-            probes = np.argsort(d2a, axis=1, kind="stable")[:, :nprobe_eff]
-            B = V.shape[0]
-            best_d2 = np.full(B, np.inf)
-            best_cell = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
-            rows_r = np.repeat(np.arange(B), nprobe_eff)
-            anch_r = probes.ravel()
-            o = np.argsort(anch_r, kind="stable")
-            rows_r, anch_r = rows_r[o], anch_r[o]
-            uanch, start = np.unique(anch_r, return_index=True)
-            bounds = np.append(start, anch_r.size)
-            for ui, a in enumerate(uanch):
-                lo, hi = offs[a], offs[a + 1]
-                if hi == lo:
-                    continue
-                r = rows_r[bounds[ui] : bounds[ui + 1]]
-                D = (
-                    v2[r][:, None]
-                    - 2.0 * (V[r] @ Cb[lo:hi].T)
-                    + c2b[lo:hi][None, :]
-                )
-                j = D.argmin(axis=1)
-                d2 = D[np.arange(r.size), j]
-                cl = cellsb[lo:hi][j]
-                cur_d2, cur_cl = best_d2[r], best_cell[r]
-                better = (d2 < cur_d2) | ((d2 == cur_d2) & (cl < cur_cl))
-                rb = r[better]
-                best_d2[rb] = d2[better]
-                best_cell[rb] = cl[better]
+            best_cell = shortlist_assign_kernel(V, st, nprobe_eff)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].values,
@@ -206,6 +175,45 @@ def shortlist_assign_vectorized(
             )
 
     return base.mapInPandas(assign, out_schema)
+
+
+def shortlist_assign_kernel(V, st, nprobe):
+    """Pure-numpy assignment kernel over one batch ``V`` and a
+    centroid index ``st`` (from :func:`_centroid_index`): probe the
+    ``nprobe`` nearest anchors (stable tie-break toward lower acell),
+    argmin d2 over the probed buckets with (d2, cell) tie-break.
+    Returns the winning cell id per row. Module-level so the
+    brute-force property tests can drive it without Spark
+    (tests/test_vectorized_kernels.py)."""
+    A, a2 = st["A"], st["a2"]
+    Cb, cellsb, c2b, offs = st["Cb"], st["cellsb"], st["c2b"], st["offs"]
+    v2 = np.einsum("ij,ij->i", V, V)
+    d2a = v2[:, None] - 2.0 * (V @ A.T) + a2[None, :]
+    probes = np.argsort(d2a, axis=1, kind="stable")[:, :nprobe]
+    B = V.shape[0]
+    best_d2 = np.full(B, np.inf)
+    best_cell = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+    rows_r = np.repeat(np.arange(B), probes.shape[1])
+    anch_r = probes.ravel()
+    o = np.argsort(anch_r, kind="stable")
+    rows_r, anch_r = rows_r[o], anch_r[o]
+    uanch, start = np.unique(anch_r, return_index=True)
+    bounds = np.append(start, anch_r.size)
+    for ui, a in enumerate(uanch):
+        lo, hi = offs[a], offs[a + 1]
+        if hi == lo:
+            continue
+        r = rows_r[bounds[ui] : bounds[ui + 1]]
+        D = v2[r][:, None] - 2.0 * (V[r] @ Cb[lo:hi].T) + c2b[lo:hi][None, :]
+        j = D.argmin(axis=1)
+        d2 = D[np.arange(r.size), j]
+        cl = cellsb[lo:hi][j]
+        cur_d2, cur_cl = best_d2[r], best_cell[r]
+        better = (d2 < cur_d2) | ((d2 == cur_d2) & (cl < cur_cl))
+        rb = r[better]
+        best_d2[rb] = d2[better]
+        best_cell[rb] = cl[better]
+    return best_cell
 
 
 def mark_within_cell_dups_vectorized(assigned: DataFrame, tau: float) -> DataFrame:

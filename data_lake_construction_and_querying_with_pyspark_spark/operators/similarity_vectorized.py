@@ -89,44 +89,48 @@ def hardest_negatives_per_cell(assigned: DataFrame, tau: float) -> DataFrame:
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].values
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {"anchor_id": ids[:0], "neg_id": ids[:0], "neg_cosine": []}
-            )
         V = np.array(pdf["v"].tolist(), dtype=np.float64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
-        zero = nrm == 0.0
-        N = V / np.where(zero, 1.0, nrm)[:, None]
-        N[zero] = 0.0
-        best_c = np.full(n, -np.inf)
-        best_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-        for lo in range(0, n, _NEG_BLOCK_ROWS):
-            hi = min(lo + _NEG_BLOCK_ROWS, n)
-            G = N[lo:hi] @ N.T
-            rows = np.arange(lo, hi)
-            G[np.arange(hi - lo), rows] = np.inf  # self never eligible
-            G[:, zero] = np.inf  # zero-norm mate: fold cosine is NULL, never a negative
-            G[G > tau] = -np.inf  # super-threshold mates are positives, not negatives
-            j = G.argmax(axis=1)  # first occurrence = lowest nbr_id on ties
-            c = G[np.arange(hi - lo), j]
-            cand_id = ids[j]
-            better = (c > best_c[rows]) | ((c == best_c[rows]) & (cand_id < best_id[rows]))
-            rb = rows[better]
-            best_c[rb] = c[better]
-            best_id[rb] = cand_id[better]
-        # zero-norm ANCHORS emit nothing either (their fold cosines are
-        # all NULL), and -inf marks anchors with no eligible mate
-        keep = np.isfinite(best_c) & ~zero
-        return pd.DataFrame(
-            {
-                "anchor_id": ids[keep],
-                "neg_id": best_id[keep],
-                "neg_cosine": best_c[keep],
-            }
-        )
+        a, nid, c = hardest_mate_kernel(ids, V, tau)
+        return pd.DataFrame({"anchor_id": a, "neg_id": nid, "neg_cosine": c})
 
     return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+
+
+def hardest_mate_kernel(ids, V, tau):
+    """Pure-numpy inverted-list kernel: for each row, the
+    highest-cosine mate with cosine ≤ tau (lowest id on ties); zero-
+    norm rows are neither anchors nor candidates (fold NULL-cosine
+    semantics); rows with no eligible mate emit nothing. ``ids``
+    ascending, rows of raw (unnormalized) ``V`` aligned. Module-level
+    for the brute-force property tests (tests/test_vectorized_kernels.py)."""
+    n = len(ids)
+    empty = (ids[:0], ids[:0], np.array([], dtype=np.float64))
+    if n < 2:
+        return empty
+    nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+    zero = nrm == 0.0
+    N = V / np.where(zero, 1.0, nrm)[:, None]
+    N[zero] = 0.0
+    best_c = np.full(n, -np.inf)
+    best_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for lo in range(0, n, _NEG_BLOCK_ROWS):
+        hi = min(lo + _NEG_BLOCK_ROWS, n)
+        G = N[lo:hi] @ N.T
+        rows = np.arange(lo, hi)
+        G[np.arange(hi - lo), rows] = np.inf  # self never eligible
+        G[:, zero] = np.inf  # zero-norm mate: fold cosine is NULL, never a negative
+        G[G > tau] = -np.inf  # super-threshold mates are positives, not negatives
+        j = G.argmax(axis=1)  # first occurrence = lowest nbr_id on ties
+        c = G[np.arange(hi - lo), j]
+        cand_id = ids[j]
+        better = (c > best_c[rows]) | ((c == best_c[rows]) & (cand_id < best_id[rows]))
+        rb = rows[better]
+        best_c[rb] = c[better]
+        best_id[rb] = cand_id[better]
+    # zero-norm ANCHORS emit nothing either (their fold cosines are
+    # all NULL), and -inf marks anchors with no eligible mate
+    keep = np.isfinite(best_c) & ~zero
+    return ids[keep], best_id[keep], best_c[keep]
 
 
 def knn_graph_edges_vectorized(
@@ -169,31 +173,9 @@ def knn_graph_edges_vectorized(
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].values
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"vec_id": ids[:0], "nbr_id": ids[:0], "cosine": []})
         N = np.array(pdf["nv"].tolist(), dtype=np.float64)
-        kk = min(k, n - 1)
-        src, dst, cos = [], [], []
-        for lo in range(0, n, _NEG_BLOCK_ROWS):
-            hi = min(lo + _NEG_BLOCK_ROWS, n)
-            G = N[lo:hi] @ N.T
-            G[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self
-            # stable argsort of -cosine over id-ascending columns ==
-            # the fold's (cosine DESC, nbr_id ASC) window order
-            top = np.argsort(-G, axis=1, kind="stable")[:, :kk]
-            c = np.take_along_axis(G, top, axis=1).ravel()
-            keep = np.isfinite(c)
-            src.append(np.repeat(ids[lo:hi], kk)[keep])
-            dst.append(ids[top.ravel()][keep])
-            cos.append(c[keep])
-        return pd.DataFrame(
-            {
-                "vec_id": np.concatenate(src),
-                "nbr_id": np.concatenate(dst),
-                "cosine": np.concatenate(cos),
-            }
-        )
+        s, d, c = local_topk_kernel(ids, N, k)
+        return pd.DataFrame({"vec_id": s, "nbr_id": d, "cosine": c})
 
     local = flat.groupBy("tbl", "bucket").applyInPandas(per_bucket, out_schema)
     merged = local.groupBy("vec_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
@@ -201,6 +183,32 @@ def knn_graph_edges_vectorized(
     return merged.withColumn("edge_rank", F.row_number().over(w).cast("int")).filter(
         F.col("edge_rank") <= k
     )
+
+
+def local_topk_kernel(ids, N, k):
+    """Pure-numpy bucket kernel: each row's top-``k`` mates by
+    (cosine DESC, id ASC) over normalized rows ``N`` (ids ascending,
+    rows aligned) — a stable argsort of negated cosines over
+    id-ascending columns IS that composite order. Module-level for the
+    brute-force property tests (tests/test_vectorized_kernels.py)."""
+    n = len(ids)
+    if n < 2:
+        return ids[:0], ids[:0], np.array([], dtype=np.float64)
+    kk = min(k, n - 1)
+    src, dst, cos = [], [], []
+    for lo in range(0, n, _NEG_BLOCK_ROWS):
+        hi = min(lo + _NEG_BLOCK_ROWS, n)
+        G = N[lo:hi] @ N.T
+        G[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self
+        # stable argsort of -cosine over id-ascending columns ==
+        # the fold's (cosine DESC, nbr_id ASC) window order
+        top = np.argsort(-G, axis=1, kind="stable")[:, :kk]
+        c = np.take_along_axis(G, top, axis=1).ravel()
+        keep = np.isfinite(c)
+        src.append(np.repeat(ids[lo:hi], kk)[keep])
+        dst.append(ids[top.ravel()][keep])
+        cos.append(c[keep])
+    return np.concatenate(src), np.concatenate(dst), np.concatenate(cos)
 
 
 def hard_negative_triplets_ivf_vectorized(
