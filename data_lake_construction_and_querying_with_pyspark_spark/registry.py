@@ -74,73 +74,75 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-7 rotation (VERDICT r6 directive #2 — pay the window exactly as
-# the r6 plan stated, no new registrations): ALL 32 oracle-bearing
-# entries whose latest driver row is r4 (they hit the "no row older
-# than 2 rounds" contract edge this round — the complexity-deprioritized
-# picks the r6 rotation deferred), then 18 complexity-prioritized picks
-# from the 49 r5-aged entries (the ACID/BPE/dedup-canonical/ANN/
-# retrieval ladder over twice-stable pure-SQL packs). The 31 r5-aged
-# entries left out each keep a green r5 row — exactly 2 rounds old at
-# r7, inside the contract — and form r8's base (31 + 19 of the 50
-# r6-aged rows keeps the cycle sustainable: 131 oracles / 50 slots
-# needs every entry re-checked at least every 3rd round).
+# Round-8 rotation (VERDICT r7 directive #1 — pay the window exactly as
+# the r7 plan stated, no new registrations burn slots): ALL 31
+# oracle-bearing entries whose latest driver row is r5 (they hit the
+# "no row older than 2 rounds" contract edge this round — the pure-SQL
+# packs and join flavors the r7 rotation deferred), then 19
+# complexity-prioritized picks from the 50 r6-aged entries (the
+# semantic/dedup/ANN/graph/recursive ladder over twice-stable TPC-H
+# shapes). The 31 r6-aged entries left out each keep a green r6 row —
+# exactly 2 rounds old at r8, inside the contract — and form r9's base
+# (31 + 19 of the 50 r7-aged rows keeps the cycle sustainable:
+# 131 oracles / 50 slots needs every entry re-checked at least every
+# 3rd round). tests/test_registry_window.py derives this plan from the
+# committed CORRECTNESS_r*.json artifacts and fails CI if mis-planned.
 # Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- r4-aged, contract edge this round: all 32 --
-    "array_ops_embeddings",
-    "case_when_price_buckets",
-    "cheapest_supplier_per_part",
-    "cohort_retention",
-    "date_functions_pack",
-    "distinct_flag_status",
-    "edit_distance_similar_parts",
-    "events_gap_fill_resample",
-    "events_sliding_windows",
-    "events_user_sessions",
-    "funnel_conversion",
-    "important_parts_q11",
-    "in_subquery_urgent_customers",
-    "jsonl_roundtrip_documents",
-    "lateral_explode_top_tokens",
-    "orc_roundtrip_customer",
-    "percentiles_by_segment",
-    "pricing_summary",
-    "product_profit_q9",
-    "range_join_quantity_band",
-    "scalar_subquery_above_avg",
-    "set_except_priorities",
-    "set_intersect_priorities",
-    "set_union_priorities",
-    "string_functions_pack",
-    "text_chunk_windows",
-    "text_language_id",
-    "two_nation_trade_q7",
-    "union_by_name_projections",
-    "window_order_gap_days",
-    "window_rank_pack",
-    "window_trailing_30day_spend",
-    # -- r5-aged re-verification picks (18 of 49, complexity-first;
-    # the 31 left out keep green r5 rows and rotate r8) --
-    "acid_orders_lifecycle",
-    "acid_delete_data_skipping",
-    "acid_change_feed",
-    "bpe_learn_merges",
-    "bpe_encode_documents",
-    "bpe_token_counts",
-    "dedup_canonical_corpus",
-    "dedup_canonical_corpus_embeddings",
-    "dedup_minhash_near_dup",
-    "decontamination_overlap",
-    "hard_negative_mining",
-    "knn_brute_force",
-    "knn_graph_top1",
-    "knn_graph_topk",
-    "knn_ivf_pq",
-    "knn_pq_adc",
-    "rerank_bm25_candidates",
-    "semantic_dedup_sampled",
+    # -- r5-aged, contract edge this round: all 31 --
+    "boilerplate_token_scrub",
+    "conditional_agg_status_revenue",
+    "cte_top_revenue_nations",
+    "cube_flags",
+    "dedup_exact_documents",
+    "expectations_orders",
+    "filter_project_pushdown",
+    "grouping_sets_priority_status",
+    "join_anti_customers_no_orders",
+    "join_broadcast_chain",
+    "join_key_skew_profile",
+    "join_outer_customer_orders",
+    "join_semi_customers_with_f_orders",
+    "json_extract_events",
+    "local_supplier_volume_q5",
+    "map_functions_pack",
+    "market_share_q8",
+    "math_functions_pack",
+    "null_handling_pack",
+    "outlier_orders_zscore",
+    "pivot_status_counts",
+    "rollup_region_nation",
+    "segment_stats",
+    "sequence_packing",
+    "shipping_priority_q3",
+    "snapshot_diff_orders",
+    "text_regex_token_count",
+    "topk_global_orders",
+    "unigram_rarity_scores",
+    "window_running_total",
+    "window_topk_per_customer",
+    # -- r6-aged re-verification picks (19 of 50, complexity-first;
+    # the 31 left out keep green r6 rows and rotate r9) --
+    "asof_latest_order_per_event",
+    "bm25_topk_documents",
+    "corpus_prep_pipeline",
+    "dedup_cluster_assignment",
+    "dedup_embedding_cosine_pairs",
+    "dedup_fingerprint_documents",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_repeated_spans",
+    "dedup_simhash_hamming_pairs",
+    "dedup_simhash_signatures",
+    "gopher_quality_filters",
+    "knn_ivf_deterministic",
+    "pagerank_trade_network",
+    "pca_top_component",
+    "recursive_transition_paths",
+    "semantic_dedup_embeddings",
+    "source_mix_draw",
+    "tfidf_top_terms_per_doc",
+    "weighted_systematic_draw",
 )
 
 
