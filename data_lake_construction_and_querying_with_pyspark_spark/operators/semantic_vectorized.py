@@ -83,6 +83,7 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic i
 from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import as_double_vec
 
 _PAIR_BLOCK_ROWS = 1024  # row-block size for the per-cell Gram GEMM (memory ∝ block·|cell|)
+_OWNER_BLOCK_ROWS = 65536  # row-block for the centroid→anchor owner scan (memory ∝ block·m, not k·m)
 
 
 def _centroid_index(centroids: DataFrame, m: int) -> dict:
@@ -105,7 +106,20 @@ def _centroid_index(centroids: DataFrame, m: int) -> dict:
       is the lowest cell, like the fold's ``min_by(struct(d2, cell))``;
     * anchors own themselves (``owner[:m] = arange(m)``) ⇒ no probed
       bucket is empty, the fold path's non-empty-shortlist guarantee.
-    """
+      Known divergence from the fold here: when two ANCHOR centroids
+      are exact duplicate vectors, the fold buckets the higher-cell
+      duplicate under the LOWER acell via its ``(d2, acell)``
+      tie-break, while the self-own override keeps it in its own
+      bucket. Benign for final assignments — both buckets carry the
+      identical vector, and the per-row ``(d2, cell)`` tie-break picks
+      the same winning cell either way — but it is a bucketing
+      difference, not "like the fold" verbatim.
+
+    The owner scan walks ``C`` in fixed row blocks: a flat
+    ``(c2 - 2·C@Aᵀ + a2).argmin`` materializes a k×m matrix — 15.6 GB
+    of temporaries at the 100M rung's k=1 562 500, m=1250 — while the
+    blocked walk is O(block·m) regardless of k, and per-row argmin is
+    independent so the result is identical row-for-row."""
     rows = centroids.collect()
     cells = np.fromiter((r["cell"] for r in rows), dtype=np.int64, count=len(rows))
     C = np.array([r["cent"] for r in rows], dtype=np.float64)
@@ -115,7 +129,12 @@ def _centroid_index(centroids: DataFrame, m: int) -> dict:
     A = C[:m].copy()
     a2 = np.einsum("ij,ij->i", A, A)
     c2 = np.einsum("ij,ij->i", C, C)
-    owner = (c2[:, None] - 2.0 * (C @ A.T) + a2[None, :]).argmin(axis=1)
+    owner = np.empty(len(cells), dtype=np.int64)
+    for lo in range(0, len(cells), _OWNER_BLOCK_ROWS):
+        hi = min(lo + _OWNER_BLOCK_ROWS, len(cells))
+        owner[lo:hi] = (
+            c2[lo:hi, None] - 2.0 * (C[lo:hi] @ A.T) + a2[None, :]
+        ).argmin(axis=1)
     owner[:m] = np.arange(m)
     border = np.argsort(owner, kind="stable")
     counts = np.bincount(owner, minlength=m)

@@ -40,7 +40,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RESULTS = os.path.join(
+RESULTS = os.environ.get("RUNG_RESULTS") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "docs",
     "rung10m_r7.jsonl",
@@ -74,7 +74,12 @@ def main() -> None:
     t0 = time.time()
     docs_path = f"{out}/documents.parquet"
     emb_path = f"{out}/embeddings.parquet"
-    if not os.path.exists(docs_path):
+    # Every rung step reads only the embeddings table; the documents
+    # table is 4× its size (3.6 GB vs 889 MB at 10M — 36 GB at 100M)
+    # and building it would burn the disk headroom the 100M shuffle
+    # needs. Request it explicitly with a "docs" step if a future rung
+    # ever reads documents.
+    if "docs" in steps and not os.path.exists(docs_path):
         build_documents(spark, n_docs).write.mode("overwrite").parquet(docs_path)
     if not os.path.exists(emb_path):
         build_embeddings(spark, n_docs).write.mode("overwrite").parquet(emb_path)
