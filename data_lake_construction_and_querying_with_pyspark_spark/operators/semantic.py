@@ -515,17 +515,27 @@ def _seed_centroids(spark: SparkSession, base: DataFrame, k: int) -> DataFrame:
     reads the centroid table from three places; as a live subtree the
     k-row LIMIT sort would re-execute per reference). The constant
     non-foldable partition key keeps the k-row window warning-free —
-    see semantic_dedup for the full rationale."""
+    see semantic_dedup for the full rationale.
+
+    Selection is two-pass so the sort-limit only ever touches 8-byte
+    ids, never vectors: ``orderBy(v).limit(k)`` over WIDE rows is a
+    TakeOrderedAndProject whose single merge task holds k rows from
+    EVERY partition — at the 100M rung's k=1 562 500 that is 71×813 MB
+    of 64-dim arrays in one task, a measured driver OOM (r8). The id
+    pass finds the exact k-th smallest vec_id (ids are unique), the
+    wide pass is a plain filter; selected rows and numbering are
+    value-identical to the one-pass form, so every oracle is
+    untouched."""
+    id_topk = base.select("vec_id").orderBy("vec_id").limit(k)
+    cutoff_row = id_topk.agg(F.max("vec_id").alias("c")).first()
+    cutoff = cutoff_row["c"] if cutoff_row else None
+    seeds = base.filter(F.col("vec_id") <= F.lit(cutoff)) if cutoff is not None else base.limit(0)
     init_w = Window.partitionBy(
         F.substring(F.col("vec_id").cast("string"), 1, 0)
     ).orderBy("vec_id")
-    centroids = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
-            F.col("v").alias("cent"),
-        )
+    centroids = seeds.select(
+        (F.row_number().over(init_w) - 1).cast("int").alias("cell"),
+        F.col("v").alias("cent"),
     )
     return _materialize_centroids(spark, centroids)
 

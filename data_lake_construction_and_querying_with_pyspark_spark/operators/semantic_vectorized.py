@@ -123,6 +123,14 @@ def _centroid_index(centroids: DataFrame, m: int) -> dict:
     rows = centroids.collect()
     cells = np.fromiter((r["cell"] for r in rows), dtype=np.int64, count=len(rows))
     C = np.array([r["cent"] for r in rows], dtype=np.float64)
+    return centroid_index_kernel(cells, C, m)
+
+
+def centroid_index_kernel(cells, C, m) -> dict:
+    """Pure-numpy body of :func:`_centroid_index` over raw (cells, C)
+    arrays — module-level so the brute-force property tests can build
+    and probe indices without Spark (tests/test_vectorized_kernels.py).
+    See :func:`_centroid_index` for the ordering invariants."""
     order = np.argsort(cells, kind="stable")
     cells, C = cells[order], C[order]
     m = min(m, len(cells))
@@ -298,8 +306,16 @@ def semantic_dedup_sampled_vectorized(
     assignment, and the per-cell GEMM pair scan. Library-only (no
     registered entry / no oracle — the ulp-order caveat in the module
     docstring); the production path for ≥10M-row corpora where the fold
-    arithmetic is the measured wall."""
-    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    arithmetic is the measured wall.
+
+    ``base`` is deliberately NOT persisted (r8): at the 100M rung the
+    decoded-double cache is ~52 GB — it evicts to disk next to the pair
+    stage's equally-sized shuffle and the two together exhaust local
+    disk, while the few extra passes it would save are plain columnar
+    parquet scans (~9 GB each, seconds). The TRAINING SAMPLE stays
+    persisted — it is 16× smaller and read once per Lloyd's
+    iteration."""
+    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     n = base.count()
     sample = training_sample(base, n, k, sample_per_cell)
     if sample is not base:

@@ -189,17 +189,27 @@ def local_topk_kernel(ids, N, k):
     """Pure-numpy bucket kernel: each row's top-``k`` mates by
     (cosine DESC, id ASC) over normalized rows ``N`` (ids ascending,
     rows aligned) — a stable argsort of negated cosines over
-    id-ascending columns IS that composite order. Module-level for the
+    id-ascending columns IS that composite order. Zero-norm rows
+    (``lsh_buckets_vectorized`` maps them to the all-zero vector) are
+    neither anchors nor candidates: their Gram cosine of 0.0 would
+    otherwise outrank genuinely negative-cosine neighbors, and the fold
+    ``knn_graph_edges`` has no behavior to match here — under the
+    repo's ANSI session its cosine expression throws DIVIDE_BY_ZERO on
+    a zero-norm vector, so exclusion (the ``hardest_mate_kernel``
+    convention) is the family-consistent choice. Module-level for the
     brute-force property tests (tests/test_vectorized_kernels.py)."""
     n = len(ids)
     if n < 2:
         return ids[:0], ids[:0], np.array([], dtype=np.float64)
+    zero = np.einsum("ij,ij->i", N, N) == 0.0
     kk = min(k, n - 1)
     src, dst, cos = [], [], []
     for lo in range(0, n, _NEG_BLOCK_ROWS):
         hi = min(lo + _NEG_BLOCK_ROWS, n)
         G = N[lo:hi] @ N.T
         G[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self
+        G[:, zero] = -np.inf  # zero-norm mate: never a neighbor
+        G[zero[lo:hi], :] = -np.inf  # zero-norm anchor: emits nothing
         # stable argsort of -cosine over id-ascending columns ==
         # the fold's (cosine DESC, nbr_id ASC) window order
         top = np.argsort(-G, axis=1, kind="stable")[:, :kk]

@@ -6,8 +6,11 @@ the batch height, so it bounds GEMM size and the number of
 Python-worker round trips. Bigger batches amortize better — in theory.
 Measure, don't assume (the r7 unrolled-expression lesson): time the
 full-corpus shortlist assignment (the 10M rung's dominant twin stage)
-over the SAME corpus at several batch sizes, fresh derived centroid
-table each time so no arm reuses the other's cache.
+over the SAME corpus at several batch sizes. The derived centroid
+table is built ONCE and deliberately shared across all arms — the
+values_match_baseline check compares each arm's assignments against
+the first arm's, which only means anything when every arm scores the
+same centroids.
 
 Usage: python scripts/measure_arrow_batch.py [corpus_dir] [n_for_k]
        (defaults: /tmp/scale_probe_2m, 2_000_000)
