@@ -10,6 +10,8 @@ O(batch + index), not O(corpus).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -177,16 +179,54 @@ EMB_INDEX_PLANES = 16  # sign bits per table (65 536 keys/band)
 EMB_INDEX_TAU = 0.9  # production near-dup threshold
 
 
-def init_embedding_index(spark: SparkSession, index_dir: str) -> None:
+def init_embedding_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_tables: int = EMB_INDEX_TABLES,
+    n_planes: int = EMB_INDEX_PLANES,
+) -> None:
     """Create an empty embedding near-dup index: a sign-LSH bucket
     table (candidate lookup) plus a normalized-vector inventory
-    (exact-cosine verification)."""
+    (exact-cosine verification).
+
+    Geometry is chosen HERE, once, and persisted in ``_geometry.json``
+    — every ingest reads it back, because bucket codes already in the
+    index were computed with these planes and silently re-bucketing
+    with different ones would miss cross-batch candidates. Why the
+    knob exists (the r8 streaming-volume probe,
+    docs/stream_candidates_r8.jsonl): at the default 16-bit tables the
+    per-batch verify-candidate pool grows LINEARLY with the
+    accumulated corpus — measured ≈2.56×10⁻⁷ · batch · indexed
+    collisions (14.0M candidates for a 100k batch at just 500k
+    indexed), which crosses the measured interpreted-fold wall
+    (~8×10⁵ dots/s) somewhere past ~10M indexed vectors. The batch
+    family's bits-∝-log-n contract applies unchanged: a deployment
+    ingesting toward 10⁸ vectors provisions 20-24 bits at init and
+    the pool stays micro-batch-sized for the index's whole life."""
+    import json
+
     spark.createDataFrame([], "vec_id long, tbl int, bucket int").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/buckets.parquet")
     spark.createDataFrame([], "vec_id long, v array<double>, norm double").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/vectors.parquet")
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/_geometry.json", "w") as f:
+        json.dump({"n_tables": n_tables, "n_planes": n_planes}, f)
+
+
+def _index_geometry(index_dir: str) -> tuple[int, int]:
+    """(n_tables, n_planes) the index was initialized with; indices
+    created before the geometry file existed get the r7 defaults."""
+    import json
+
+    try:
+        with open(f"{index_dir}/_geometry.json") as f:
+            g = json.load(f)
+        return int(g["n_tables"]), int(g["n_planes"])
+    except (OSError, ValueError, KeyError):
+        return EMB_INDEX_TABLES, EMB_INDEX_PLANES
 
 
 def embedding_neardup_incremental(
@@ -198,10 +238,13 @@ def embedding_neardup_incremental(
 ) -> DataFrame:
     """Embedding near-dup pairs of an incoming ``(vec_id, embedding)``
     batch against the accumulated corpus (and within the batch), using
-    the SAME 8-table × 16-sign-bit hyperplane construction as the batch
-    operator ``dedup.dedup_embedding_cosine_pairs`` — bucket membership
-    is a deterministic function of the vector alone, so the union of
-    incremental pair discoveries over ANY batch split equals the batch
+    the hyperplane geometry the index was PROVISIONED with
+    (``_index_geometry`` — default the batch operator's 8-table ×
+    16-sign-bit construction; see ``init_embedding_index`` for the
+    corpus-size provisioning rule the r8 volume probe motivates).
+    Bucket membership is a deterministic function of the vector and
+    the fixed geometry alone, so the union of incremental pair
+    discoveries over ANY batch split equals the same-geometry batch
     operator's pair set exactly (``tests/test_streaming_sinks.py``
     proves it over a 4-way split plus checkpoint restart).
 
@@ -252,8 +295,9 @@ def embedding_neardup_incremental(
         with_norm(batch.join(known, "vec_id", "left_anti"))
         .localCheckpoint()
     )
+    n_tables, n_planes = _index_geometry(index_dir)
     buckets_new = lsh_multi_buckets_flat(
-        vecs_new, n_tables=EMB_INDEX_TABLES, n_planes=EMB_INDEX_PLANES
+        vecs_new, n_tables=n_tables, n_planes=n_planes
     ).localCheckpoint()
 
     buckets_all = buckets_old.unionByName(buckets_new.select("vec_id", "tbl", "bucket"))
@@ -353,8 +397,9 @@ def knn_graph_incremental(
 
     batch = batch.dropDuplicates(["vec_id"])
     vecs_new = with_norm(batch.join(known, "vec_id", "left_anti")).localCheckpoint()
+    n_tables, n_planes = _index_geometry(index_dir)
     buckets_new = lsh_multi_buckets_flat(
-        vecs_new, n_tables=EMB_INDEX_TABLES, n_planes=EMB_INDEX_PLANES
+        vecs_new, n_tables=n_tables, n_planes=n_planes
     ).localCheckpoint()
 
     buckets_all = buckets_old.unionByName(buckets_new.select("vec_id", "tbl", "bucket"))

@@ -226,3 +226,54 @@ def test_knn_graph_incremental_updates_old_vectors_edges(spark, tmp_path):
     nbrc, cosc = rank1[10_000]
     assert nbr5 == 10_000 and cos5 > 0.999999
     assert nbrc == 5 and cosc > 0.999999
+
+
+def test_embedding_index_provisioned_geometry_equals_batch(spark, tmp_path):
+    """The r8 geometry provisioning knob (init_embedding_index's
+    docstring: the streaming-volume probe measured the 16-bit pool
+    growing ≈2.56e-7·batch·indexed — past the fold wall at ≥10M
+    indexed): an index initialized at a NON-default geometry must (a)
+    bucket every subsequent ingest with the provisioned planes (the
+    persisted _geometry.json, not the module constants), so the
+    two-batch union still equals the same-geometry batch operator
+    exactly, and (b) fall back to the r7 defaults when the geometry
+    file is absent (pre-r8 indices)."""
+    import os
+
+    from scripts.scale_probe import build_embeddings
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        embedding_cosine_pairs_scaled,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.incremental import (
+        _index_geometry,
+        EMB_INDEX_PLANES,
+        EMB_INDEX_TABLES,
+        embedding_neardup_incremental,
+        init_embedding_index,
+    )
+
+    emb = build_embeddings(spark, 400).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).localCheckpoint()
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = str(tmp_path / "emb_idx_geo")
+    init_embedding_index(spark, idx, n_tables=4, n_planes=20)
+    assert _index_geometry(idx) == (4, 20)
+    p1 = embedding_neardup_incremental(spark, half1, idx, tau=0.9)
+    p2 = embedding_neardup_incremental(spark, half2, idx, tau=0.9)
+    incremental = {(r.vec_a, r.vec_b, r.cosine) for r in p1.collect()} | {
+        (r.vec_a, r.vec_b, r.cosine) for r in p2.collect()
+    }
+    batch = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_cosine_pairs_scaled(
+            spark, emb, tau=0.9, n_tables=4, n_planes=20
+        ).collect()
+    }
+    assert incremental == batch and len(batch) > 0
+
+    os.remove(f"{idx}/_geometry.json")
+    assert _index_geometry(idx) == (EMB_INDEX_TABLES, EMB_INDEX_PLANES)
