@@ -24,7 +24,7 @@ Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
            [n_docs] [corpus_dir] [steps]
        (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
         steps is a comma list from
-        {pca,volume,semantic,semanticvec,bandpoolvec,ivfneg,ivfnegvec,canonvec};
+        {pca,volume,semantic,semanticvec,bandpoolvec,ivfneg,ivfnegvec,canonvec,knngraphvec};
         semanticvec — r7's vectorized scoring twin
         (operators/semantic_vectorized.py), the measured escape from the
         interpreted-fold wall — is NOT in the default step set: run it
@@ -377,6 +377,44 @@ def main() -> None:
                 "rows": int(obs.get["n"]),
                 "planted_pos_recovered": int(obs.get["hits"]),
                 "planted_pairs": n_docs // 20,
+            }
+        )
+        spark.catalog.clearCache()
+
+    if "knngraphvec" in steps:
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity_vectorized import (
+            knn_graph_edges_vectorized,
+        )
+
+        # The twin family's last unmeasured member (the fold rung of
+        # record is 159.6 s at 1M, SCALING.md round 5). Same recovery
+        # signal as the fold rung: members of planted pair groups
+        # ((2k, 2k+1) with pmod(k,20) < 2, cosine ≈ 1) must find their
+        # partner as the RANK-1 edge — non-planted 64-dim pairs top out
+        # near cosine ~0.5, so rank-1 partner recovery is sharp.
+        planted = F.pmod((F.col("vec_id") / 2).cast("long"), 20) < 2
+        partner = F.col("vec_id").bitwiseXOR(F.lit(1))
+        obs = Observation("knngraphvec_rows")
+        t0 = time.time()
+        edges = knn_graph_edges_vectorized(spark, emb, k=3).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(planted & (F.col("edge_rank") == 1) & (F.col("nbr_id") == partner), 1)
+            ).alias("hits"),
+        )
+        run(edges)
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "knn_graph_topk_vectorized",
+                "n_docs": n_docs,
+                "seconds": round(dt, 2),
+                "rows": int(obs.get["n"]),
+                "planted_rank1_recovered": int(obs.get["hits"]),
+                "planted_members": n_docs // 10,
             }
         )
         spark.catalog.clearCache()
