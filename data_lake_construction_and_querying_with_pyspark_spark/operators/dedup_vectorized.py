@@ -36,9 +36,11 @@ normalized-vector GEMMs, whose summation order differs from the fold
 in final ulps — and the SAME pair surviving in two tables can score
 ulp-differently because dgemm blocking depends on matrix shape, so
 cross-table dedup aggregates ``max(cosine)`` per pair instead of
-relying on bitwise-equal rows. Library-only, recall/agreement-tested
-against the fold operator (tests/test_dedup_vectorized.py); the
-registered entry keeps the fold + DuckDB oracle.
+relying on bitwise-equal rows. Recall/agreement-tested against the
+fold operator (tests/test_dedup_vectorized.py); the PRIMARY registered
+entry keeps the fold + DuckDB oracle, and the twin is registered
+rows-only (``dedup_embedding_cosine_pairs_vectorized``) so the
+production path is reachable through the same query API.
 
 Reference parity: the reference repo has no dedup surface (SURVEY.md
 §2.7 — this family is part of the required training-data-pipeline
@@ -63,6 +65,8 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity
     _hyperplanes,
     as_double_vec,
 )
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
 _PAIR_BLOCK_ROWS = 1024  # row-block for the per-bucket Gram walk (memory ∝ block·|bucket|)
 
@@ -242,3 +246,44 @@ def canonical_corpus_embeddings_vectorized(
         F.col("vertex").alias("vec_id")
     )
     return emb.select("vec_id").join(drop, "vec_id", "left_anti")
+
+
+@register("dedup_embedding_cosine_pairs_vectorized", oracle=None)
+def dedup_embedding_cosine_pairs_vectorized_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered face of the band-pool GEMM twin — the wall-clock
+    path for the candidate pool the fold throughput probe priced at
+    >11 h at 10M (docs/SCALING.md: 938.5 s, 100% planted-clone
+    recovery). Same planted-clone corpus, hyperplane seed, 8×16
+    geometry and τ=0.9 as the hash-oracled
+    ``dedup_embedding_cosine_pairs`` entry, so at the sf fixtures both
+    entries emit exactly the planted pairs.
+
+    Rows-only by design: the GEMM cosine differs from the fold's in
+    final ulps (module docstring), so the fold entry carries the
+    cross-engine oracle and the twin's value agreement is pinned by
+    tests/test_dedup_vectorized.py plus the marker-gated 200k rung in
+    tests/test_rung_agreement.py."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+        _SCALED_PLANES,
+        _SCALED_TABLES,
+        _SCALED_TAU,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    return embedding_cosine_pairs_vectorized(
+        spark,
+        base.unionByName(clones),
+        tau=_SCALED_TAU,
+        n_tables=_SCALED_TABLES,
+        n_planes=_SCALED_PLANES,
+    )

@@ -77,10 +77,13 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic i
     _materialize_centroids,
     _seed_centroids,
     coarse_m,
+    derive_k,
     kmeans_update,
     training_sample,
 )
 from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import as_double_vec
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
 _PAIR_BLOCK_ROWS = 1024  # row-block size for the per-cell Gram GEMM (memory ∝ block·|cell|)
 _OWNER_BLOCK_ROWS = 65536  # row-block for the centroid→anchor owner scan (memory ∝ block·m, not k·m)
@@ -303,10 +306,10 @@ def semantic_dedup_sampled_vectorized(
     swapped for its vectorized twin: sample-trained Lloyd's (same seeds,
     same deterministic md5-threshold sample, same exact-decimal centroid
     update) with numpy shortlist assignment, one vectorized full-corpus
-    assignment, and the per-cell GEMM pair scan. Library-only (no
-    registered entry / no oracle — the ulp-order caveat in the module
-    docstring); the production path for ≥10M-row corpora where the fold
-    arithmetic is the measured wall.
+    assignment, and the per-cell GEMM pair scan. Registered rows-only
+    as ``semantic_dedup_sampled_vectorized`` (no hash oracle — the
+    ulp-order caveat in the module docstring); the production path for
+    ≥10M-row corpora where the fold arithmetic is the measured wall.
 
     ``base`` is deliberately NOT persisted (r8): at the 100M rung the
     decoded-double cache is ~52 GB — it evicts to disk next to the pair
@@ -327,3 +330,22 @@ def semantic_dedup_sampled_vectorized(
         centroids = _materialize_centroids(spark, kmeans_update(assigned_s))
     final = shortlist_assign_vectorized(spark, base, centroids, m, nprobe)
     return mark_within_cell_dups_vectorized(final, tau)
+
+
+@register("semantic_dedup_sampled_vectorized", oracle=None)
+def semantic_dedup_sampled_vectorized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered face of the GEMM SemDeDup twin — the path the
+    scale ladder runs at ≥2M rows (docs/SCALING.md decision table:
+    200.8 s at 2M, 386.9 s at 10M, 976.5 s at 20M, 3 892 s at 100M,
+    planted recovery flat in the 97% band). Same corpus, k policy, and
+    output contract (vec_id, cell_id, is_semantic_dup) as the
+    hash-oracled ``semantic_dedup_sampled`` entry.
+
+    Rows-only by design, not omission: BLAS GEMM summation order
+    diverges from the fold in final ulps (module docstring), which no
+    cross-engine hash oracle can absorb — value agreement with the
+    oracle-bearing fold is pinned instead by
+    tests/test_semantic_vectorized.py and the marker-gated 200k rung in
+    tests/test_rung_agreement.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_sampled_vectorized(spark, emb, k=derive_k(emb.count()))

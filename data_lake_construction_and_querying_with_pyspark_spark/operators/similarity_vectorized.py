@@ -63,9 +63,12 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic_v
     shortlist_assign_vectorized,
 )
 from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity import (
+    _GRAPH_TOP_K,
     _IVF_SAMPLE_TRAIN_MIN,
     as_double_vec,
 )
+from data_lake_construction_and_querying_with_pyspark_spark.registry import register
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
 _NEG_BLOCK_ROWS = 1024  # row-block for the per-cell hardest-mate Gram walk
 
@@ -259,3 +262,72 @@ def hard_negative_triplets_ivf_vectorized(
 
     neg = hardest_negatives_per_cell(assigned, tau)
     return pos.join(neg, "anchor_id")
+
+
+def _clone_augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-clone corpus every embedding-family registered entry
+    shares (``dedup.dedup_embedding_cosine_pairs`` builds it inline):
+    every 50th vector gains a +0.01-nudged clone at id + 1e6, so the
+    twins' rows-only runs exercise the same ground truth the
+    hash-oracled fold entries verify exactly."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _CLONE_MOD,
+        _CLONE_OFF,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    return base.unionByName(clones)
+
+
+@register("knn_graph_topk_vectorized", oracle=None)
+def knn_graph_topk_vectorized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered face of the kNN-graph GEMM twin: top-3 edges per
+    vector over the same planted-clone corpus, hyperplane seed, and
+    8×16 geometry as the hash-oracled ``knn_graph_topk`` — the
+    per-bucket local-top-k prune is lossless for the (cosine DESC,
+    nbr_id) order, so the edge SET matches the fold entry exactly on
+    this corpus (pinned by tests/test_similarity_vectorized.py).
+
+    Rows-only because the cosine VALUES carry the family's ulp caveat
+    (module docstring); the 10M rung of record lives in
+    docs/SCALING.md."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        _SCALED_PLANES,
+        _SCALED_TABLES,
+    )
+
+    return knn_graph_edges_vectorized(
+        spark,
+        _clone_augmented_embeddings(spark, sf_dir),
+        k=_GRAPH_TOP_K,
+        n_tables=_SCALED_TABLES,
+        n_planes=_SCALED_PLANES,
+    )
+
+
+@register("hard_negative_mining_ivf_vectorized", oracle=None)
+def hard_negative_mining_ivf_vectorized_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered face of the IVF-pool GEMM triplet miner — the
+    ≥10M hard-negative production path (docs/SCALING.md: 1 386.2 s at
+    10M with 99.7% of planted pairs tripled; the fine band pool the
+    fold entry mines is measured >11 h there). Positives come from the
+    band-pool GEMM twin over the shared planted-clone corpus; negatives
+    are each anchor's hardest sub-threshold mate within its IVF cell.
+
+    Rows-only: the IVF cell boundaries depend on GEMM-scored Lloyd's
+    assignments, so beyond the family ulp caveat the negative CHOICE
+    can differ from the fold miner at cell-boundary ties — agreement is
+    pinned in recall terms by tests/test_similarity_vectorized.py and
+    the marker-gated rung in tests/test_rung_agreement.py, not by
+    hash."""
+    return hard_negative_triplets_ivf_vectorized(
+        spark, _clone_augmented_embeddings(spark, sf_dir), tau=0.9
+    )

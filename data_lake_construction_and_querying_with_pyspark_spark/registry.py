@@ -187,6 +187,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_lake_construction_and_querying_with_pyspark_spark.operators import graph  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import lake_acid  # noqa: F401
     from data_lake_construction_and_querying_with_pyspark_spark.operators import pca  # noqa: F401
+    # the GEMM-twin modules register their production paths rows-only
+    # (r8): no oracle — the BLAS ulp caveat in each module docstring —
+    # so they sort after every oracle-bearing entry and never burn a
+    # driver-window slot; value agreement with the hash-oracled fold
+    # entries is pinned by the twin pytest suites + the rung gate
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import dedup_vectorized  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import semantic_vectorized  # noqa: F401
+    from data_lake_construction_and_querying_with_pyspark_spark.operators import similarity_vectorized  # noqa: F401
     # registers streaming_hourly_rollup at module level like every
     # other entry (r7: the lazy special-case here made the registered
     # count method-dependent — 138 from bare module imports vs 139
