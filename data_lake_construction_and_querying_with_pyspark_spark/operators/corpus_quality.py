@@ -568,3 +568,181 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_stop.alias("pass_stopwords"),
         (p_wc & p_mwl & p_alpha & p_sym & p_stop).alias("keep"),
     )
+
+
+# --- stupid-backoff trigram LM scoring ---------------------------------------
+#
+# Backoff multipliers (Brants et al. 2007, "Large Language Models in
+# Machine Translation" §4: alpha = 0.4). alpha² is written as the ONE
+# literal 0.16 in BOTH engines rather than 0.4*0.4 — each engine parses
+# the literal to the same nearest double, whereas a two-multiply chain
+# would also agree but reads as if it could differ.
+_SB_ALPHA = 0.4
+_SB_ALPHA2 = 0.16
+
+
+@register(
+    "lm_stupid_backoff_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    tr3 AS (
+        SELECT array_to_string(toks[i:i+2], ' ') AS g3, COUNT(*) AS c3
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - 2)) AS t(i)
+        WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    tr2 AS (
+        SELECT array_to_string(toks[i:i+1], ' ') AS g2, COUNT(*) AS c2
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    tr1 AS (
+        SELECT w, COUNT(*) AS c1 FROM (
+            SELECT unnest(toks) AS w FROM toks WHERE doc_id % 2 = 0
+        ) GROUP BY w
+    ),
+    ntot AS (SELECT SUM(c1) AS n FROM tr1),
+    sc AS (
+        SELECT doc_id,
+               array_to_string(toks[i:i+2], ' ') AS g3,
+               array_to_string(toks[i:i+1], ' ') AS g2ctx,
+               array_to_string(toks[i+1:i+2], ' ') AS g2tail,
+               toks[i+1] AS w2,
+               toks[i+2] AS w3
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - 2)) AS t(i)
+        WHERE doc_id % 2 = 1
+    ),
+    j AS (
+        SELECT sc.doc_id,
+               CASE
+                 WHEN c3 IS NOT NULL
+                   THEN CAST(c3 AS DOUBLE) / CAST(c2ctx.c2 AS DOUBLE)
+                 WHEN c2tail.c2 IS NOT NULL
+                   THEN CAST({_SB_ALPHA} AS DOUBLE)
+                        * CAST(c2tail.c2 AS DOUBLE) / CAST(c1mid.c1 AS DOUBLE)
+                 ELSE CAST({_SB_ALPHA2} AS DOUBLE)
+                      * CAST(COALESCE(c1last.c1, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+               END AS s
+        FROM sc
+        LEFT JOIN tr3 ON sc.g3 = tr3.g3
+        LEFT JOIN tr2 c2ctx ON sc.g2ctx = c2ctx.g2
+        LEFT JOIN tr2 c2tail ON sc.g2tail = c2tail.g2
+        LEFT JOIN tr1 c1mid ON sc.w2 = c1mid.w
+        LEFT JOIN tr1 c1last ON sc.w3 = c1last.w
+        CROSS JOIN ntot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(SUM(CAST(s AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS sb_score
+    FROM j GROUP BY doc_id
+    """,
+)
+def lm_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model document scoring — the CCNet-style
+    quality signal (Wenzek et al. 2020, arXiv:1911.00359 §3.3: score
+    every document with an LM trained on a reference corpus and filter
+    on the per-token score), with the LM being the stupid-backoff
+    trigram model of Brants et al. 2007 (arXiv's cs/0702071-era MT
+    work; score S(w3|w1 w2) = c3/c2 when the trigram is attested, else
+    0.4·c2(w2 w3)/c1(w2), else 0.4²·c1(w3)/N — unnormalized scores,
+    no discounting, designed precisely for distributed count tables).
+
+    Reference-vs-scored split is deterministic and SQL-replayable:
+    even doc_ids train the count tables, odd doc_ids are scored (the
+    held-out direction matters — scoring the training half against
+    itself never backs off, so the backoff arms would be dead code).
+    Documents with <3 tokens have no trigram positions and drop out.
+
+    Determinism contract (same discipline as `unigram_rarity_scores`
+    and BM25's odds-form idf): raw backoff scores instead of log
+    scores — ``ln`` is a libm call with no cross-engine ulp guarantee,
+    while each arm here is one or two correctly-rounded IEEE ops in
+    the SAME shape in both engines; each per-position score is cut to
+    DECIMAL(20,12) BEFORE the per-doc SUM (partial-agg order cannot
+    move it; scores are ≤1 so 8 integer digits hold to 1e8-token
+    docs), then one cast back to double and one division by the
+    position count. Guaranteed-total denominators: c3 attested ⇒ its
+    context bigram is attested (superstring), c2(w2 w3) attested ⇒ w2
+    is attested — so no arm divides by NULL/0.
+
+    Scale shape (100 TB): the three count tables are vocabulary-keyed
+    aggregates with map-side partial combine (trigram table is the
+    big one — it shuffles once on g3 and is then equi-join
+    co-partitioned with the scoring stream, the same posting-join
+    shape as `dedup_repeated_spans`); the unigram table is
+    vocab-sized, so AQE broadcast-converts its two probes; the total-N
+    scalar broadcasts. Per-doc aggregation is the one exchange keyed
+    by doc_id. Everything is linear in corpus size; skewed common
+    trigrams are AQE skew-join territory, not a crash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+
+    def positions(df: DataFrame, width: int) -> DataFrame:
+        """(doc_id, i, toks) rows for every width-gram start position."""
+        starts = F.when(
+            n >= width, F.sequence(F.lit(1), n - (width - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select("doc_id", F.explode(starts).alias("i"), "toks")
+
+    train = toked.filter(F.col("doc_id") % 2 == 0)
+    gram = lambda start, width: F.concat_ws(" ", F.slice("toks", start, width))  # noqa: E731
+    tr3 = (
+        positions(train, 3)
+        .select(gram(F.col("i"), 3).alias("g3"))
+        .groupBy("g3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    tr2 = (
+        positions(train, 2)
+        .select(gram(F.col("i"), 2).alias("g2"))
+        .groupBy("g2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tr1 = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ntot = tr1.agg(F.sum("c1").alias("n"))
+
+    sc = positions(toked.filter(F.col("doc_id") % 2 == 1), 3).select(
+        "doc_id",
+        gram(F.col("i"), 3).alias("g3"),
+        gram(F.col("i"), 2).alias("g2ctx"),
+        gram(F.col("i") + 1, 2).alias("g2tail"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+        F.element_at("toks", F.col("i") + 2).alias("w3"),
+    )
+    j = (
+        sc.join(tr3, "g3", "left")
+        .join(tr2.select(F.col("g2").alias("g2ctx"), F.col("c2").alias("c2ctx")), "g2ctx", "left")
+        .join(tr2.select(F.col("g2").alias("g2tail"), F.col("c2").alias("c2tail")), "g2tail", "left")
+        .join(tr1.select(F.col("w").alias("w2"), F.col("c1").alias("c1mid")), "w2", "left")
+        .join(tr1.select(F.col("w").alias("w3"), F.col("c1").alias("c1last")), "w3", "left")
+        .crossJoin(F.broadcast(ntot))
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2ctx").cast("double"),
+        )
+        .when(
+            F.col("c2tail").isNotNull(),
+            F.lit(_SB_ALPHA)
+            * F.col("c2tail").cast("double")
+            / F.col("c1mid").cast("double"),
+        )
+        .otherwise(
+            F.lit(_SB_ALPHA2)
+            * F.coalesce(F.col("c1last"), F.lit(0)).cast("double")
+            / F.col("n").cast("double")
+        )
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (F.sum(s.cast("decimal(20,12)")).cast("double") / F.count(F.lit(1))).alias("sb_score"),
+    )

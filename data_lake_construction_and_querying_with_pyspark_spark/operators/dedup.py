@@ -1210,3 +1210,148 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("p") + (_SPAN_K - 1)).cast("int").alias("span_end"),
         F.count(F.lit(1)).alias("n_shingle_hits"),
     ).select("doc_id", "span_start", "span_end", "n_shingle_hits")
+
+
+@register(
+    "dedup_span_scrub_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(i AS INT) AS p,
+               array_to_string(toks[i:i+{_SPAN_K - 1}], ' ') AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - {_SPAN_K - 1}))
+                   AS t(i)
+    ),
+    occ AS (
+        SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+        FROM pos
+    ),
+    drops AS (
+        SELECT DISTINCT doc_id, CAST(p + i AS INT) AS q
+        FROM occ, LATERAL unnest(generate_series(0, {_SPAN_K - 1})) AS t(i)
+        WHERE rn >= 2
+    ),
+    tok_pos AS (
+        SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS q,
+               unnest(toks) AS w
+        FROM toks
+    ),
+    kept AS (
+        SELECT t.doc_id, t.q, t.w
+        FROM tok_pos t
+        WHERE NOT EXISTS (SELECT 1 FROM drops d
+                          WHERE d.doc_id = t.doc_id AND d.q = t.q)
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY q) AS scrubbed_text,
+               CAST(COUNT(*) AS INT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    nt AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM toks)
+    SELECT n.doc_id,
+           n.n_tokens,
+           n.n_tokens - COALESCE(a.n_kept, 0) AS n_dropped_tokens,
+           COALESCE(a.scrubbed_text, '') AS scrubbed_text
+    FROM nt n LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL with document reassembly — the production
+    companion to `dedup_repeated_spans`: where that operator REPORTS
+    repeated extents, this one applies the cut of Lee et al. 2021
+    (arXiv:2107.06499 §4, ExactSubstr deduplication: every duplicated
+    span keeps its first occurrence and every other occurrence is
+    deleted in place) and rebuilds each document's text without the
+    deleted tokens, the way a training-corpus pass actually consumes
+    the dedup signal. The reference's only cleaning facility is
+    ``dropDuplicates`` on whole rows (SURVEY.md §2.4, reference
+    ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:96``);
+    this is that capability at sub-document granularity.
+
+    Semantics (deterministic in both engines):
+    * every {_SPAN_K}-token span occurrence is ranked by
+      ``row_number() OVER (PARTITION BY span ORDER BY doc_id, p)`` —
+      rank 1 is the canonical (lexicographically-first) occurrence;
+    * occurrences ranked ≥2 (duplicated within OR across documents)
+      mark their {_SPAN_K} covered token positions dropped;
+    * a document is rebuilt from its surviving (position, token) pairs
+      in original order; fully-scrubbed docs survive with empty text
+      (LEFT join back, same contract as `boilerplate_token_scrub`).
+    A canonical occurrence's tokens can still be dropped when a
+    DIFFERENT span's non-canonical occurrence overlaps them —
+    overlap resolution is positional, not span-identity-based, which
+    is exactly Lee et al.'s in-place cut.
+
+    Determinism: pure integer/string operations end-to-end (positions,
+    row_number with a total (doc_id, p) order, anti-join, ordered
+    string reassembly) — no floats, so cross-engine equality is
+    structural.
+
+    Scale shape (100 TB): the posting explode and span-keyed exchange
+    reuse `dedup_repeated_spans`' source-sized reducer rule
+    (`span_shuffle_partitions` — AQE's compressed-size coalescing
+    under-provisions these ~10×-compressible rows, measured there);
+    the rank window sorts each span's posting list once. Drop
+    positions explode to ≤ {_SPAN_K}× the duplicated-occurrence count,
+    the anti-join shuffles on (doc_id, q), and reassembly is one
+    exchange keyed by doc_id with per-doc arrays never shuffled.
+    All stages are linear in corpus size; nothing broadcasts at
+    corpus scale. (An alternative shape — collect each doc's drop
+    set into an array and filter map-side — saves the anti-join
+    exchange but pays O(len × drops) per doc inside the filter
+    lambda; the join form stays linear for pathological
+    boilerplate-heavy documents.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    starts = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = toked.select(
+        "doc_id",
+        F.explode(starts).alias("p"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("p").cast("int").alias("p"),
+        F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("s"),
+    )
+    pos = pos.repartition(span_shuffle_partitions(spark, docs), "s")
+    # rank ≥2 already implies the span has ≥2 occurrences — no COUNT
+    # window needed alongside the row_number.
+    occ = pos.select(
+        "doc_id",
+        "p",
+        F.row_number().over(Window.partitionBy("s").orderBy("doc_id", "p")).alias("rn"),
+    )
+    drops = (
+        occ.filter(F.col("rn") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (_SPAN_K - 1))).alias("q"),
+        )
+        .select("doc_id", F.col("q").cast("int").alias("q"))
+        .distinct()
+    )
+    tok_pos = toked.select("doc_id", F.posexplode("toks").alias("i0", "w")).select(
+        "doc_id", (F.col("i0") + 1).cast("int").alias("q"), "w"
+    )
+    kept = tok_pos.join(drops, ["doc_id", "q"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("q", "w"))), lambda s: s["w"]),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    base = toked.select("doc_id", F.size("toks").cast("int").alias("n_tokens"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped_tokens"),
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+    )

@@ -74,18 +74,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-8 rotation (VERDICT r7 directive #1 — pay the window exactly as
-# the r7 plan stated, no new registrations burn slots): ALL 31
-# oracle-bearing entries whose latest driver row is r5 (they hit the
-# "no row older than 2 rounds" contract edge this round — the pure-SQL
-# packs and join flavors the r7 rotation deferred), then 19
-# complexity-prioritized picks from the 50 r6-aged entries (the
-# semantic/dedup/ANN/graph/recursive ladder over twice-stable TPC-H
-# shapes). The 31 r6-aged entries left out each keep a green r6 row —
-# exactly 2 rounds old at r8, inside the contract — and form r9's base
-# (31 + 19 of the 50 r7-aged rows keeps the cycle sustainable:
-# 131 oracles / 50 slots needs every entry re-checked at least every
-# 3rd round). tests/test_registry_window.py derives this plan from the
+# Round-8 rotation (VERDICT r7 directive #1): ALL 31 oracle-bearing
+# entries whose latest driver row is r5 (they hit the "no row older
+# than 2 rounds" contract edge this round — the pure-SQL packs and
+# join flavors the r7 rotation deferred), then 17 complexity-
+# prioritized picks from the 50 r6-aged entries (the semantic/dedup/
+# ANN/graph/recursive ladder over twice-stable TPC-H shapes), then the
+# 2 entries REGISTERED this round (`dedup_span_scrub_documents`,
+# `lm_stupid_backoff_scores` — never driver-checked, so the freshness
+# contract requires them in-window immediately; they displace the two
+# simplest of the originally-planned 19 r6-aged picks,
+# asof_latest_order_per_event and weighted_systematic_draw, which keep
+# green r6 rows — exactly 2 rounds old at r8, inside the contract).
+# The 33 r6-aged entries left out form r9's base (33 + 17 of the r7-
+# aged rows keeps the cycle sustainable: 133 oracles / 50 slots needs
+# every entry re-checked at least every 3rd round).
+# tests/test_registry_window.py derives this plan from the
 # committed CORRECTNESS_r*.json artifacts and fails CI if mis-planned.
 # Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
@@ -122,9 +126,8 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "unigram_rarity_scores",
     "window_running_total",
     "window_topk_per_customer",
-    # -- r6-aged re-verification picks (19 of 50, complexity-first;
-    # the 31 left out keep green r6 rows and rotate r9) --
-    "asof_latest_order_per_event",
+    # -- r6-aged re-verification picks (17 of 50, complexity-first;
+    # the 33 left out keep green r6 rows and rotate r9) --
     "bm25_topk_documents",
     "corpus_prep_pipeline",
     "dedup_cluster_assignment",
@@ -142,7 +145,10 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "semantic_dedup_embeddings",
     "source_mix_draw",
     "tfidf_top_terms_per_doc",
-    "weighted_systematic_draw",
+    # -- registered this round: never driver-checked, contract
+    # requires in-window now --
+    "dedup_span_scrub_documents",
+    "lm_stupid_backoff_scores",
 )
 
 

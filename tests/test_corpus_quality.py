@@ -53,3 +53,95 @@ def test_expectations_pass_on_clean_lake(spark):
     rows = {r["rule"]: r["n_violations"] for r in expectations_orders(spark, SF_SMOKE).collect()}
     assert set(rows) == {n for n, _ in _ORDER_RULES} | {"custkey_fk_exists"}
     assert all(v == 0 for v in rows.values()), rows
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Minimal documents.parquet a corpus operator can load_table from."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_span_scrub_keeps_first_occurrence_and_cuts_the_rest(spark, tmp_path):
+    """Lee et al. ExactSubstr semantics on a planted corpus: the
+    lexicographically-first occurrence of a duplicated 5-token span
+    survives, every other occurrence's tokens are cut in place, docs
+    shorter than the span width are untouched, and a doc that IS a
+    duplicate span survives as empty text."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        dedup_span_scrub_documents,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a b c d e u0 u1 u2"),   # canonical occurrence (doc 0, p=1)
+            (1, "v0 v1 a b c d e"),      # duplicate at p=3 -> cut 5 tokens
+            (2, "x y z"),                # < 5 tokens: no spans, untouched
+            (3, "p q r s t"),            # canonical whole-doc span
+            (4, "p q r s t"),            # duplicate whole doc -> scrubbed empty
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped_tokens"], r["scrubbed_text"])
+        for r in dedup_span_scrub_documents(spark, sf).collect()
+    }
+    assert got == {
+        0: (8, 0, "a b c d e u0 u1 u2"),
+        1: (7, 5, "v0 v1"),
+        2: (3, 0, "x y z"),
+        3: (5, 0, "p q r s t"),
+        4: (5, 5, ""),
+    }
+
+
+def test_stupid_backoff_scores_hit_all_three_arms(spark, tmp_path):
+    """Each backoff arm on a hand-computable corpus (train = even
+    doc_ids 'a b c a b c' and 'z z' -> c3('a b c')=2,
+    c2('a b')=c2('b c')=2, c2('c a')=1, c1(a)=c1(b)=c1(c)=c1(z)=2,
+    N=8):
+
+    * attested trigram: doc 1 'a b c' -> 2/2 = 1.0
+    * attested tail bigram only: doc 7 'c c a' -> 0.4 * c2('c a')/c1(c)
+      = 0.4 * 1/2 = 0.2
+    * unigram arm, unseen word: doc 3 'a b d' -> 0.16 * 0/8 = 0.0
+    * unigram arm, seen word (exercises the N denominator): doc 11
+      'd d z' -> 0.16 * c1(z)/N = 0.16 * 2/8 = 0.04 (exact: a /4 of
+      the 0.16 double is a power-of-two scaling, and the 12-digit
+      decimal cut re-parses to the same double)
+    * per-doc average: doc 5 'b c a b' -> ('b c a': 1/2, 'c a b': 1/1)
+      -> 0.75
+    * <3-token and even (train) docs produce no score rows."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+        lm_stupid_backoff_scores,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a b c a b c"),  # train
+            (1, "a b c"),
+            (2, "z z"),          # train (irrelevant unigrams: z)
+            (3, "a b d"),
+            (5, "b c a b"),
+            (7, "c c a"),
+            (9, "a b"),          # scored parity but <3 tokens: no row
+            (11, "d d z"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["sb_score"])
+        for r in lm_stupid_backoff_scores(spark, sf).collect()
+    }
+    assert got == {
+        1: (1, 1.0),
+        3: (1, 0.0),
+        5: (2, 0.75),
+        7: (1, 0.2),
+        11: (1, 0.04),
+    }
