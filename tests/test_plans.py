@@ -438,3 +438,34 @@ def test_bpe_stage_plans(spark):
     enc_plan = _plan(bpe_encode_documents(spark, SF_SMOKE))
     assert "Exchange" not in enc_plan, enc_plan
     assert "Join" not in enc_plan, enc_plan
+
+
+def test_span_scrub_posting_repartition_and_linear_joins(spark, queries):
+    """dedup_span_scrub_documents must (a) keep the EXPLICIT span-keyed
+    REPARTITION_BY_NUM exchange (same AQE-coalescing exemption as
+    dedup_repeated_spans — the r4 reducer-sizing finding), (b) never
+    plan a CartesianProduct, and (c) read the documents scan with the
+    schema pruned to (doc_id, text) — the reassembly must not drag
+    lang/source/n_chars through three shuffles."""
+    import re
+
+    df = queries["dedup_span_scrub_documents"](spark, SF_SMOKE)
+    opt = _optimized(df)
+    par = spark.sparkContext.defaultParallelism
+    hits = re.findall(r"RepartitionByExpression \[s#\d+\], (\d+)", opt)
+    assert hits and all(int(h) == par for h in hits), opt
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"ReadSchema: ([^\n]*)", plan):
+        assert "n_chars" not in m.group(1), m.group(1)
+
+
+def test_lm_scores_partial_counts_and_scalar_broadcast(spark, queries):
+    """lm_stupid_backoff_scores' count tables must aggregate partial
+    (map-side combine before the vocabulary shuffle), the total-N
+    scalar must broadcast (BroadcastNestedLoopJoin over 1 row — never
+    a shuffled cross join), and no CartesianProduct may appear."""
+    plan = _plan(queries["lm_stupid_backoff_scores"](spark, SF_SMOKE))
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
