@@ -49,6 +49,8 @@ extension); geometry and thresholds follow the registered operator.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +80,7 @@ def lsh_buckets_vectorized(
     n_planes: int,
     seed: int = 7,
     vec_col: str = "v",
+    tables: "Sequence[int] | None" = None,
 ) -> DataFrame:
     """Flat (vec_id, tbl, bucket, nv) band rows with the sign bits
     computed as ONE (batch × all-planes) GEMM per Arrow batch — the
@@ -90,17 +93,31 @@ def lsh_buckets_vectorized(
     so the downstream verify GEMM is a plain Gram product. The
     normalized vector rides along because the per-bucket verify needs
     it; zero shuffle here — the groupBy downstream pays the one
-    exchange."""
+    exchange.
+
+    ``tables`` restricts the pass to an explicit subset of table
+    indices (default: all of ``range(n_tables)``). Plane seeds stay
+    keyed by the ABSOLUTE table index (``seed + 1000*t``) and the
+    emitted ``tbl`` column carries that absolute index, so any
+    partition of the table set unions to exactly the single-pass
+    band-row set — the contract `canonical_corpus_embeddings_vectorized`'s
+    scratch-bounded table batching relies on (the r8 20M rung measured
+    the full 8-table exchange at ~85 GB of shuffle scratch, past this
+    box's ceiling; see docs/SCALING.md)."""
+    if tables is None:
+        tables = list(range(n_tables))
+    tables = list(tables)
+    n_emit = len(tables)
     first = e.select(F.size(vec_col).alias("d")).first()
     dim = first["d"] if first else 0
     P = np.array(
         [
             plane
-            for t in range(n_tables)
+            for t in tables
             for plane in _hyperplanes(dim, n_planes, seed + 1000 * t)
         ],
         dtype=np.float64,
-    )  # (n_tables*n_planes) × dim
+    )  # (len(tables)*n_planes) × dim
     weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
     bc = spark.sparkContext.broadcast(P)
 
@@ -119,10 +136,10 @@ def lsh_buckets_vectorized(
             if pdf.empty:
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bits = (V @ planes.T) > 0.0  # B × (tables·planes)
+            bits = (V @ planes.T) > 0.0  # B × (len(tables)·planes)
             bkt = (
-                bits.reshape(-1, n_tables, n_planes) * weights[None, :, :]
-            ).sum(axis=2)  # B × tables
+                bits.reshape(-1, n_emit, n_planes) * weights[None, :, :]
+            ).sum(axis=2)  # B × len(tables)
             nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
             N = V / np.where(nrm == 0.0, 1.0, nrm)[:, None]
             N[nrm == 0.0] = 0.0
@@ -130,11 +147,11 @@ def lsh_buckets_vectorized(
             nv_obj = np.empty(B, dtype=object)  # 1-D object array of row views
             for i in range(B):                  # (np.asarray(list) would go 2-D)
                 nv_obj[i] = N[i]
-            nv_rep = np.repeat(nv_obj, n_tables)
+            nv_rep = np.repeat(nv_obj, n_emit)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].values, n_tables),
-                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), B),
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_emit),
+                    "tbl": np.tile(np.array(tables, dtype=np.int32), B),
                     "bucket": bkt.astype(np.int32).ravel(),
                     "nv": nv_rep,
                 }
@@ -176,6 +193,7 @@ def embedding_cosine_pairs_vectorized(
     n_planes: int = 16,
     seed: int = 7,
     vec_col: str = "embedding",
+    tables: Sequence[int] | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at the production band geometry with
     GEMM scoring — the vectorized twin of
@@ -189,9 +207,16 @@ def embedding_cosine_pairs_vectorized(
     ONE groupBy (tbl, bucket) exchange, then per-bucket blocked Gram
     products emitting only surviving pairs; cross-table dedup via
     max(cosine) per pair (see the module docstring for why not
-    ``.distinct()``)."""
+    ``.distinct()``).
+
+    ``tables`` restricts the pass to a subset of absolute table
+    indices (see `lsh_buckets_vectorized`) — the building block for
+    scratch-bounded table batching; the per-pair max over a union of
+    table subsets equals the single-pass max only after a final
+    re-aggregate, which `canonical_corpus_embeddings_vectorized`
+    doesn't need (components only consume edge existence)."""
     base = emb.select("vec_id", as_double_vec(F.col(vec_col)).alias("v"))
-    flat = lsh_buckets_vectorized(spark, base, n_tables, n_planes, seed)
+    flat = lsh_buckets_vectorized(spark, base, n_tables, n_planes, seed, tables=tables)
 
     out_schema = StructType(
         [
@@ -223,6 +248,8 @@ def canonical_corpus_embeddings_vectorized(
     n_tables: int = 8,
     n_planes: int = 16,
     seed: int = 7,
+    table_batches: int = 1,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """The embedding ladder's end-to-end deliverable with GEMM scoring
     — the vectorized twin of the registered
@@ -233,14 +260,56 @@ def canonical_corpus_embeddings_vectorized(
     → keep-min-id → surviving ids by anti-join. The pair stage is the
     only scorer, so the twin caveats live entirely there; components
     and the anti-join are the same exact machinery the oracle-checked
-    entry runs. Returns the surviving (vec_id) frame."""
+    entry runs. Returns the surviving (vec_id) frame.
+
+    ``table_batches`` bounds PEAK SHUFFLE SCRATCH, not arithmetic: the
+    (tbl, bucket) exchange carries the normalized f64 vector once per
+    table — ~n·n_tables·8·(d+1) bytes live at once, and LZ4 buys
+    almost nothing on random doubles. The r8 20M rung measured the
+    single-pass 8-table exchange at ~85 GB, past this box's ~77 GB
+    scratch ceiling ("No space left on device" with 30 of 64 map
+    tasks still queued; docs/SCALING.md). With ``table_batches=k``
+    the table set is processed in k waves — each wave's surviving
+    pairs (tiny: near-dup edges, not candidates) are staged to
+    ``scratch_dir`` parquet and the wave's shuffle files are released
+    before the next wave plans, so peak scratch divides by k while
+    every bucket/cosine value stays BIT-IDENTICAL (plane seeds are
+    keyed by absolute table index). The union may hold duplicate
+    edges (a pair surviving in two waves' tables); components consume
+    edge existence, so no re-max is needed. On a real cluster the
+    same knob trades wall-clock for bounded per-node scratch — the
+    standard move when disk, not CPU, is the binding constraint."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
         connected_components,
     )
 
-    pairs = embedding_cosine_pairs_vectorized(
-        spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes, seed=seed
-    ).select("vec_a", "vec_b")
+    if table_batches <= 1:
+        pairs = embedding_cosine_pairs_vectorized(
+            spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes, seed=seed
+        ).select("vec_a", "vec_b")
+    else:
+        import tempfile
+
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="canonvec_waves_")
+        all_tables = list(range(n_tables))
+        wave_paths = []
+        for ci in range(table_batches):
+            chunk = all_tables[ci::table_batches]
+            if not chunk:
+                continue
+            path = f"{scratch}/pairs_wave_{ci}"
+            embedding_cosine_pairs_vectorized(
+                spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes,
+                seed=seed, tables=chunk,
+            ).select("vec_a", "vec_b").write.mode("overwrite").parquet(path)
+            wave_paths.append(path)
+            # Release the finished wave's shuffle files NOW: the
+            # ContextCleaner frees them only when the dependency is
+            # GC'd driver-side, and 85 GB of dead scratch next to the
+            # next wave's live 43 GB is exactly the OOD this knob
+            # exists to avoid.
+            spark.sparkContext._jvm.System.gc()
+        pairs = spark.read.parquet(*wave_paths)
     cc = connected_components(pairs, "vec_a", "vec_b")
     drop = cc.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("vec_id")

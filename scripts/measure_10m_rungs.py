@@ -328,10 +328,17 @@ def main() -> None:
             F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
         )
         aug = base.unionByName(clones)
+        # ≥20M on this box the single-pass 8-table band exchange
+        # (~85 GB of f64-vector shuffle scratch) exceeds the ~77 GB
+        # disk ceiling — measured r8, "No space left on device" at
+        # 30/64 map tasks. table_batches divides peak scratch,
+        # bit-identical values (docs/SCALING.md).
+        waves = int(os.environ.get("CANONVEC_TABLE_BATCHES", "1"))
         t0 = time.time()
         survivors = canonical_corpus_embeddings_vectorized(
             spark, aug, tau=_SCALED_TAU,
             n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES,
+            table_batches=waves,
         ).count()
         dt = time.time() - t0
         emit(
@@ -341,6 +348,7 @@ def main() -> None:
                 "seconds": round(dt, 2),
                 "survivors": survivors,
                 "expected_survivors": n_docs - n_docs // 20,
+                "table_batches": waves,
             }
         )
         spark.catalog.clearCache()

@@ -152,3 +152,45 @@ def test_blocked_bucket_walk_on_a_hot_bucket(spark):
     assert out.count() == n * (n - 1) // 2
     assert out.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
     spark.catalog.clearCache()
+
+
+def test_table_subset_band_rows_union_to_single_pass(spark):
+    """The scratch-bounding contract: plane seeds are keyed by
+    ABSOLUTE table index, so band rows from tables=[0,2] ∪ tables=[1,3]
+    must equal the single 4-table pass row-for-row."""
+    e = with_norm(spark.read.parquet(f"{SF}/embeddings.parquet"))
+
+    def rows(tables):
+        return {
+            (r["vec_id"], r["tbl"], r["bucket"])
+            for r in ddv.lsh_buckets_vectorized(
+                spark, e, n_tables=4, n_planes=8, tables=tables
+            ).select("vec_id", "tbl", "bucket").collect()
+        }
+
+    assert rows([0, 2]) | rows([1, 3]) == rows(None)
+
+
+def test_canonical_corpus_table_batched_equals_single_pass(spark, tmp_path):
+    """table_batches trades peak shuffle scratch for waves — the
+    survivor SET must not move (bucket membership and every cosine are
+    bit-identical per wave; duplicate cross-wave edges are harmless to
+    the components stage)."""
+    aug = _planted_corpus(spark).persist()
+    single = {
+        r["vec_id"]
+        for r in ddv.canonical_corpus_embeddings_vectorized(
+            spark, aug, tau=dd._SCALED_TAU,
+            n_tables=dd._SCALED_TABLES, n_planes=dd._SCALED_PLANES,
+        ).collect()
+    }
+    batched = {
+        r["vec_id"]
+        for r in ddv.canonical_corpus_embeddings_vectorized(
+            spark, aug, tau=dd._SCALED_TAU,
+            n_tables=dd._SCALED_TABLES, n_planes=dd._SCALED_PLANES,
+            table_batches=3, scratch_dir=str(tmp_path),
+        ).collect()
+    }
+    assert single == batched
+    aug.unpersist()
