@@ -231,15 +231,51 @@ def hard_negative_triplets_ivf_vectorized(
     n_tables: int = 8,
     n_planes: int = 16,
     train_on_sample: bool | None = None,
+    table_batches: int = 1,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """``similarity.hard_negative_triplets_ivf`` with every fold scorer
     swapped for its GEMM twin (module docstring). Output schema and
     contract identical: (anchor_id, pos_id, pos_cosine, neg_id,
     neg_cosine) with pos_cosine > tau ≥ neg_cosine, negatives from the
-    anchor's own inverted list."""
-    pos = embedding_cosine_pairs_vectorized(
-        spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes
-    ).select(
+    anchor's own inverted list.
+
+    ``table_batches`` bounds the positives stage's peak shuffle
+    scratch exactly like `canonical_corpus_embeddings_vectorized`'s
+    knob (the band exchange carries the normalized f64 vector once
+    per table — the r8 20M canonical rung measured the 8-table pass
+    at ~85 GB, past this box's ceiling). Unlike the canonical path,
+    the miner CONSUMES pair cosines, so the cross-wave union is
+    re-aggregated with max(cosine) per pair — per-wave maxes are
+    bit-identical per (pair, table), and max over waves of per-wave
+    maxes is the single-pass max, so the output is value-identical."""
+    if table_batches <= 1:
+        pos = embedding_cosine_pairs_vectorized(
+            spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes
+        )
+    else:
+        import tempfile
+
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="ivfnegvec_waves_")
+        all_tables = list(range(n_tables))
+        wave_paths = []
+        for ci in range(table_batches):
+            chunk = all_tables[ci::table_batches]
+            if not chunk:
+                continue
+            path = f"{scratch}/pairs_wave_{ci}"
+            embedding_cosine_pairs_vectorized(
+                spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes,
+                tables=chunk,
+            ).write.mode("overwrite").parquet(path)
+            wave_paths.append(path)
+            spark.sparkContext._jvm.System.gc()  # release the wave's shuffle files
+        pos = (
+            spark.read.parquet(*wave_paths)
+            .groupBy("vec_a", "vec_b")
+            .agg(F.max("cosine").alias("cosine"))
+        )
+    pos = pos.select(
         F.col("vec_a").alias("anchor_id"),
         F.col("vec_b").alias("pos_id"),
         F.col("cosine").alias("pos_cosine"),

@@ -367,9 +367,14 @@ def main() -> None:
         # ≥10M); every scorer is the GEMM twin, so the fine-grained
         # band volume is no longer the constraint it was for the fold.
         pos_planes = 20 if n_docs >= 10_000_000 else 16
+        # Band-exchange bytes are n·n_tables·8·(d+1) REGARDLESS of
+        # plane count (every vector rides once per table), so ≥20M on
+        # this box the positives stage needs scratch-bounding waves
+        # exactly like canonvec (r8 finding, docs/SCALING.md).
+        waves = int(os.environ.get("IVFNEGVEC_TABLE_BATCHES", "1"))
         t0 = time.time()
         trip = hard_negative_triplets_ivf_vectorized(
-            spark, emb, tau=0.9, n_planes=pos_planes
+            spark, emb, tau=0.9, n_planes=pos_planes, table_batches=waves
         ).observe(
             obs,
             F.count(F.lit(1)).alias("n"),

@@ -139,3 +139,27 @@ def test_single_member_cells_emit_nothing(spark):
     rows = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)]
     assigned = spark.createDataFrame(rows, "vec_id long, v array<double>, cell int")
     assert hardest_negatives_per_cell(assigned, tau=0.9).count() == 0
+
+
+def test_ivf_miner_table_batched_is_value_identical(spark, tmp_path):
+    """The scratch-bounding waves must not move a single triplet: per-
+    wave pair maxes are bit-identical per (pair, table) and max over
+    waves equals the single-pass max, so batched output rows ==
+    single-pass output rows VALUE for value (same quantizer: the
+    negatives stage is untouched by the knob)."""
+    kw = dict(
+        tau=_SCALED_TAU, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES
+    )
+    corpus = _planted_corpus(spark).persist()
+    single = {
+        tuple(r) for r in hard_negative_triplets_ivf_vectorized(
+            spark, corpus, **kw
+        ).collect()
+    }
+    batched = {
+        tuple(r) for r in hard_negative_triplets_ivf_vectorized(
+            spark, corpus, table_batches=3, scratch_dir=str(tmp_path), **kw
+        ).collect()
+    }
+    assert single == batched
+    corpus.unpersist()
