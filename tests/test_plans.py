@@ -163,6 +163,7 @@ _NESTED_LOOP_OK = {
     "rerank_bm25_candidates",  # same BM25 1-row stats broadcasts in the candidate stage
     "tfidf_top_terms_per_doc",  # postings × broadcast 1-row doc count
     "pagerank_trade_network",  # rank table × broadcast 1-row node-count/dangling-mass
+    "lm_stupid_backoff_scores",  # scoring stream × broadcast 1-row train-token total
 }
 
 _SLOW = {
