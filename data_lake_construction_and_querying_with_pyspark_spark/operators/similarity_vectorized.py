@@ -143,6 +143,8 @@ def knn_graph_edges_vectorized(
     n_tables: int = 8,
     n_planes: int = 16,
     seed: int = 7,
+    table_batches: int = 1,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Approximate kNN-graph edges with GEMM scoring — the vectorized
     twin of ``similarity.knn_graph_edges`` (same bands via the shared
@@ -161,14 +163,21 @@ def knn_graph_edges_vectorized(
     cross-table ``max(cosine)`` dedup and the final window then merge
     per-bucket winners exactly like the fold's distinct + window.
     Same ulp caveat as every twin (dgemm vs fold summation order), so
-    equality is pinned by test on the planted corpus, not by oracle."""
+    equality is pinned by test on the planted corpus, not by oracle.
+
+    ``table_batches`` is the same scratch-bounding wave knob as the
+    canonical twin's (the band exchange carries the f64 vector once
+    per table — ~85 GB live at 20M×8, the r8 measured ceiling). The
+    per-bucket LOCAL top-k rows are what each wave stages (skinny:
+    ≤ n·tables_in_wave·k), and the union of per-bucket locals over a
+    partition of the table set IS the single-pass local set, so the
+    downstream max-dedup + window produce identical edges."""
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    flat = lsh_buckets_vectorized(spark, base, n_tables, n_planes, seed)
 
     out_schema = StructType(
         [
-            StructField("vec_id", flat.schema["vec_id"].dataType, True),
-            StructField("nbr_id", flat.schema["vec_id"].dataType, True),
+            StructField("vec_id", base.schema["vec_id"].dataType, True),
+            StructField("nbr_id", base.schema["vec_id"].dataType, True),
             StructField("cosine", DoubleType(), True),
         ]
     )
@@ -180,7 +189,28 @@ def knn_graph_edges_vectorized(
         s, d, c = local_topk_kernel(ids, N, k)
         return pd.DataFrame({"vec_id": s, "nbr_id": d, "cosine": c})
 
-    local = flat.groupBy("tbl", "bucket").applyInPandas(per_bucket, out_schema)
+    if table_batches <= 1:
+        flat = lsh_buckets_vectorized(spark, base, n_tables, n_planes, seed)
+        local = flat.groupBy("tbl", "bucket").applyInPandas(per_bucket, out_schema)
+    else:
+        import tempfile
+
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="knngraphvec_waves_")
+        all_tables = list(range(n_tables))
+        wave_paths = []
+        for ci in range(table_batches):
+            chunk = all_tables[ci::table_batches]
+            if not chunk:
+                continue
+            path = f"{scratch}/local_wave_{ci}"
+            lsh_buckets_vectorized(
+                spark, base, n_tables, n_planes, seed, tables=chunk
+            ).groupBy("tbl", "bucket").applyInPandas(
+                per_bucket, out_schema
+            ).write.mode("overwrite").parquet(path)
+            wave_paths.append(path)
+            spark.sparkContext._jvm.System.gc()  # release the wave's shuffle files
+        local = spark.read.parquet(*wave_paths)
     merged = local.groupBy("vec_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return merged.withColumn("edge_rank", F.row_number().over(w).cast("int")).filter(

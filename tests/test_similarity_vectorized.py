@@ -163,3 +163,26 @@ def test_ivf_miner_table_batched_is_value_identical(spark, tmp_path):
     }
     assert single == batched
     corpus.unpersist()
+
+
+def test_knn_graph_table_batched_is_value_identical(spark, tmp_path):
+    """The wave knob stages per-bucket LOCAL top-k rows; the union of
+    per-bucket locals over a partition of the table set is the
+    single-pass local set, so max-dedup + window yield edge-for-edge
+    identical output (ranks and cosines included)."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity_vectorized import (
+        knn_graph_edges_vectorized,
+    )
+
+    corpus = _planted_corpus(spark).persist()
+    kw = dict(k=3, n_tables=_SCALED_TABLES, n_planes=_SCALED_PLANES)
+    single = {
+        tuple(r) for r in knn_graph_edges_vectorized(spark, corpus, **kw).collect()
+    }
+    batched = {
+        tuple(r) for r in knn_graph_edges_vectorized(
+            spark, corpus, table_batches=3, scratch_dir=str(tmp_path), **kw
+        ).collect()
+    }
+    assert single == batched
+    corpus.unpersist()
