@@ -410,8 +410,11 @@ def main() -> None:
         planted = F.pmod((F.col("vec_id") / 2).cast("long"), 20) < 2
         partner = F.col("vec_id").bitwiseXOR(F.lit(1))
         obs = Observation("knngraphvec_rows")
+        # ≥20M the band exchange needs scratch-bounding waves on this
+        # box (same ceiling the canonvec rung measured).
+        kg_waves = int(os.environ.get("KNNGRAPHVEC_TABLE_BATCHES", "1"))
         t0 = time.time()
-        edges = knn_graph_edges_vectorized(spark, emb, k=3).observe(
+        edges = knn_graph_edges_vectorized(spark, emb, k=3, table_batches=kg_waves).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.count(
@@ -428,6 +431,7 @@ def main() -> None:
                 "rows": int(obs.get["n"]),
                 "planted_rank1_recovered": int(obs.get["hits"]),
                 "planted_members": n_docs // 10,
+                "table_batches": kg_waves,
             }
         )
         spark.catalog.clearCache()
