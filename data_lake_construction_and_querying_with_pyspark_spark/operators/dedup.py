@@ -1269,7 +1269,7 @@ def dedup_span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted tokens, the way a training-corpus pass actually consumes
     the dedup signal. The reference's only cleaning facility is
     ``dropDuplicates`` on whole rows (SURVEY.md §2.4, reference
-    ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:96``);
+    ``scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:103``);
     this is that capability at sub-document granularity.
 
     Semantics (deterministic in both engines):

@@ -70,6 +70,24 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
 
+
+def best_effort_jvm_gc(spark: SparkSession) -> None:
+    """Nudge the driver JVM to GC so the ContextCleaner releases a
+    finished wave's shuffle files promptly. Strictly best-effort: the
+    private ``_jvm`` handle does not exist under Spark Connect (no
+    driver-side ``sparkContext``) and ``System.gc()`` is advisory even
+    on classic — the wave knob's scratch bound does not DEPEND on the
+    nudge, it only shortens the window where a dead wave's scratch
+    coexists with the next wave's live files, so absence degrades to
+    the pre-knob cleanup cadence instead of crashing."""
+    try:
+        sc = getattr(spark, "sparkContext", None)
+        jvm = getattr(sc, "_jvm", None)
+        if jvm is not None:
+            jvm.System.gc()
+    except Exception:
+        pass
+
 _PAIR_BLOCK_ROWS = 1024  # row-block for the per-bucket Gram walk (memory ∝ block·|bucket|)
 
 
@@ -278,7 +296,15 @@ def canonical_corpus_embeddings_vectorized(
     edges (a pair surviving in two waves' tables); components consume
     edge existence, so no re-max is needed. On a real cluster the
     same knob trades wall-clock for bounded per-node scratch — the
-    standard move when disk, not CPU, is the binding constraint."""
+    standard move when disk, not CPU, is the binding constraint.
+
+    ``scratch_dir`` caveats (the returned DataFrame lazily READS the
+    staged wave parquet): off local-mode it must be a shared,
+    cluster-visible path (HDFS/S3/NFS) — the local-``/tmp`` default
+    only works when driver and executors share a filesystem — and it
+    must outlive every action on the returned frame; the default
+    ``mkdtemp`` directory is deliberately not auto-deleted for that
+    reason (callers own cleanup after their last action)."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
         connected_components,
     )
@@ -308,7 +334,7 @@ def canonical_corpus_embeddings_vectorized(
             # GC'd driver-side, and 85 GB of dead scratch next to the
             # next wave's live 43 GB is exactly the OOD this knob
             # exists to avoid.
-            spark.sparkContext._jvm.System.gc()
+            best_effort_jvm_gc(spark)
         pairs = spark.read.parquet(*wave_paths)
     cc = connected_components(pairs, "vec_a", "vec_b")
     drop = cc.filter(F.col("vertex") != F.col("component")).select(

@@ -166,6 +166,8 @@ def shortlist_assign_vectorized(
     centroids: DataFrame,
     m: int,
     nprobe: int = SEM_NPROBE,
+    index_shards: int = 1,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """One shortlist Lloyd's assignment with numpy batch scoring — the
     vectorized twin of ``semantic.shortlist_assign`` (same anchors,
@@ -176,7 +178,35 @@ def shortlist_assign_vectorized(
     ``base`` — each Arrow batch computes a B×m anchor GEMM, groups its
     rows by probed anchor, and runs one GEMM per (batch, anchor) group
     against that anchor's contiguous centroid block. Zero shuffle; the
-    only data movement is the one-time index broadcast."""
+    only data movement is the one-time index broadcast.
+
+    ``index_shards`` (VERDICT r8 directive #2) removes the last
+    single-structure ceiling on the 40M→1B trajectory: the one-piece
+    index is k·d doubles — 80 MB at the 10M rung's k=156 250, ~800 MB
+    at 100M's k=1.56M, ~5 GB at a 1B rung — and every Python worker
+    deserializes its own copy of ``bc.value``, so the per-node cost is
+    copies × index size. With ``index_shards=s`` the ANCHOR range is
+    split into s contiguous slices and processed in s waves: each wave
+    broadcasts only its slice's centroid blocks (~size/s) plus the
+    always-tiny anchor matrix (m×d, m = isqrt(k)), scores only the
+    probed anchors that fall in the slice, stages the skinny partial
+    (vec_id, d2, cell) to ``scratch_dir`` parquet, and destroys the
+    broadcast before the next wave plans. The cross-wave reduce is
+    ``min(struct(d2, cell))`` — the kernel's exact (d2, cell)
+    lexicographic tie-break, associative, so the winner is identical
+    to the one-piece scan — and winners rejoin ``base`` on vec_id (one
+    linear unique-key exchange) to re-attach ``v``. Values are
+    BIT-IDENTICAL to ``index_shards=1`` at fixed batch geometry: each
+    per-(batch, anchor) GEMM has the same row set and the same
+    contiguous block either way (probes depend only on the full anchor
+    matrix, which every wave carries), and tests pin sharded == whole
+    exactly. ``scratch_dir`` must be cluster-visible off local-mode
+    and outlive actions on the returned lazy frame (wave-knob caveats,
+    ``dedup_vectorized.canonical_corpus_embeddings_vectorized``)."""
+    if index_shards > 1:
+        return _shortlist_assign_sharded(
+            spark, base, centroids, m, nprobe, index_shards, scratch_dir
+        )
     idx = _centroid_index(centroids, m)
     bc = spark.sparkContext.broadcast(idx)
     nprobe_eff = min(nprobe, len(idx["a2"]))

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
+    best_effort_jvm_gc,
     embedding_cosine_pairs_vectorized,
     lsh_buckets_vectorized,
 )
@@ -171,7 +172,10 @@ def knn_graph_edges_vectorized(
     per-bucket LOCAL top-k rows are what each wave stages (skinny:
     ≤ n·tables_in_wave·k), and the union of per-bucket locals over a
     partition of the table set IS the single-pass local set, so the
-    downstream max-dedup + window produce identical edges."""
+    downstream max-dedup + window produce identical edges.
+    ``scratch_dir`` must be cluster-visible off local-mode and must
+    outlive every action on the returned (lazy) frame — full caveats
+    on ``canonical_corpus_embeddings_vectorized``."""
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
 
     out_schema = StructType(
@@ -209,7 +213,7 @@ def knn_graph_edges_vectorized(
                 per_bucket, out_schema
             ).write.mode("overwrite").parquet(path)
             wave_paths.append(path)
-            spark.sparkContext._jvm.System.gc()  # release the wave's shuffle files
+            best_effort_jvm_gc(spark)  # release the wave's shuffle files
         local = spark.read.parquet(*wave_paths)
     merged = local.groupBy("vec_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -278,7 +282,10 @@ def hard_negative_triplets_ivf_vectorized(
     the miner CONSUMES pair cosines, so the cross-wave union is
     re-aggregated with max(cosine) per pair — per-wave maxes are
     bit-identical per (pair, table), and max over waves of per-wave
-    maxes is the single-pass max, so the output is value-identical."""
+    maxes is the single-pass max, so the output is value-identical.
+    ``scratch_dir`` must be cluster-visible off local-mode and must
+    outlive every action on the returned (lazy) frame — full caveats
+    on ``canonical_corpus_embeddings_vectorized``."""
     if table_batches <= 1:
         pos = embedding_cosine_pairs_vectorized(
             spark, emb, tau=tau, n_tables=n_tables, n_planes=n_planes
@@ -299,7 +306,7 @@ def hard_negative_triplets_ivf_vectorized(
                 tables=chunk,
             ).write.mode("overwrite").parquet(path)
             wave_paths.append(path)
-            spark.sparkContext._jvm.System.gc()  # release the wave's shuffle files
+            best_effort_jvm_gc(spark)  # release the wave's shuffle files
         pos = (
             spark.read.parquet(*wave_paths)
             .groupBy("vec_a", "vec_b")

@@ -74,81 +74,77 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-8 rotation (VERDICT r7 directive #1): ALL 31 oracle-bearing
-# entries whose latest driver row is r5 (they hit the "no row older
-# than 2 rounds" contract edge this round — the pure-SQL packs and
-# join flavors the r7 rotation deferred), then 17 complexity-
-# prioritized picks from the 50 r6-aged entries (the semantic/dedup/
-# ANN/graph/recursive ladder over twice-stable TPC-H shapes), then the
-# 2 entries REGISTERED this round (`dedup_span_scrub_documents`,
-# `lm_stupid_backoff_scores` — never driver-checked, so the freshness
-# contract requires them in-window immediately; they displace the two
-# simplest of the originally-planned 19 r6-aged picks,
-# asof_latest_order_per_event and weighted_systematic_draw, which keep
-# green r6 rows — exactly 2 rounds old at r8, inside the contract).
-# The 33 r6-aged entries left out form r9's base (33 + 17 of the r7-
-# aged rows keeps the cycle sustainable: 133 oracles / 50 slots needs
-# every entry re-checked at least every 3rd round).
+# Round-9 rotation (VERDICT r8 directive #1): ALL 33 oracle-bearing
+# entries whose latest driver row is r6 (the contract edge this round
+# — the TPC-H analytics block, the text/profile pack, and the asof/
+# sampling pair the r8 rotation displaced), then 17 complexity-
+# prioritized picks from the 50 r7-aged entries (the ACID lifecycle
+# trio, the canonical-corpus/minhash dedup ladder, the full kNN/PQ
+# ANN block, sampled SemDeDup, decontamination, hard-negative mining,
+# BPE learn/encode, rerank). The 33 r7-aged entries left out keep
+# green r7 rows — exactly 2 rounds old at end of r9, inside the
+# contract — and form r10's base (33 + 17 of the 50 r8-aged rows;
+# 133 oracles / 50 slots needs every entry re-checked at least every
+# 3rd round, and tests/test_registry_window.py now asserts the NEXT
+# round's must-set also fits, not just this one's).
 # tests/test_registry_window.py derives this plan from the
 # committed CORRECTNESS_r*.json artifacts and fails CI if mis-planned.
 # Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- r5-aged, contract edge this round: all 31 --
-    "boilerplate_token_scrub",
-    "conditional_agg_status_revenue",
-    "cte_top_revenue_nations",
-    "cube_flags",
-    "dedup_exact_documents",
-    "expectations_orders",
-    "filter_project_pushdown",
-    "grouping_sets_priority_status",
-    "join_anti_customers_no_orders",
-    "join_broadcast_chain",
-    "join_key_skew_profile",
-    "join_outer_customer_orders",
-    "join_semi_customers_with_f_orders",
-    "json_extract_events",
-    "local_supplier_volume_q5",
-    "map_functions_pack",
-    "market_share_q8",
-    "math_functions_pack",
-    "null_handling_pack",
-    "outlier_orders_zscore",
-    "pivot_status_counts",
-    "rollup_region_nation",
-    "segment_stats",
-    "sequence_packing",
-    "shipping_priority_q3",
-    "snapshot_diff_orders",
-    "text_regex_token_count",
-    "topk_global_orders",
-    "unigram_rarity_scores",
-    "window_running_total",
-    "window_topk_per_customer",
-    # -- r6-aged re-verification picks (17 of 50, complexity-first;
-    # the 33 left out keep green r6 rows and rotate r9) --
-    "bm25_topk_documents",
-    "corpus_prep_pipeline",
-    "dedup_cluster_assignment",
-    "dedup_embedding_cosine_pairs",
-    "dedup_fingerprint_documents",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_repeated_spans",
-    "dedup_simhash_hamming_pairs",
-    "dedup_simhash_signatures",
-    "gopher_quality_filters",
-    "knn_ivf_deterministic",
-    "pagerank_trade_network",
-    "pca_top_component",
-    "recursive_transition_paths",
-    "semantic_dedup_embeddings",
-    "source_mix_draw",
-    "tfidf_top_terms_per_doc",
-    # -- registered this round: never driver-checked, contract
-    # requires in-window now --
-    "dedup_span_scrub_documents",
-    "lm_stupid_backoff_scores",
+    # -- r6-aged, contract edge this round: all 33 --
+    "asof_latest_order_per_event",
+    "corr_quantity_price_exact",
+    "customer_order_distribution_q13",
+    "deterministic_shuffle",
+    "disjunctive_predicates_q19",
+    "doc_repetition_signals",
+    "dominant_supplier_q20",
+    "event_transition_counts",
+    "events_click_purchase_pairs",
+    "events_cusum_drift",
+    "events_hourly_rollup",
+    "flagship_between",
+    "forecast_revenue_q6",
+    "histogram_order_totalprice",
+    "join_fact_fact_revenue",
+    "large_volume_customers_q18",
+    "late_shipper_q21",
+    "order_priority_checking_q4",
+    "parts_supplier_counts_q16",
+    "pii_anonymize_customers",
+    "promo_revenue_share_q14",
+    "returned_item_reporting_q10",
+    "sales_opportunity_q22",
+    "shipping_latency_priority_q12",
+    "small_quantity_revenue_q17",
+    "table_profile_events",
+    "text_fingerprints",
+    "text_quality_scores",
+    "text_token_stats",
+    "top_supplier_q15",
+    "train_val_test_split",
+    "unpivot_lineitem_measures",
+    "weighted_systematic_draw",
+    # -- r7-aged re-verification picks (17 of 50, complexity-first;
+    # the 33 left out keep green r7 rows and rotate r10) --
+    "acid_change_feed",
+    "acid_delete_data_skipping",
+    "acid_orders_lifecycle",
+    "bpe_encode_documents",
+    "bpe_learn_merges",
+    "decontamination_overlap",
+    "dedup_canonical_corpus",
+    "dedup_canonical_corpus_embeddings",
+    "dedup_minhash_near_dup",
+    "hard_negative_mining",
+    "knn_brute_force",
+    "knn_graph_top1",
+    "knn_graph_topk",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "rerank_bm25_candidates",
+    "semantic_dedup_sampled",
 )
 
 

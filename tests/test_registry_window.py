@@ -71,3 +71,35 @@ def test_window_keeps_every_oracle_entry_fresh():
         elif this_round - last > MAX_AGE:
             stale.append((name, f"latest driver row r{last} would be {this_round - last} rounds old"))
     assert not stale, stale
+
+
+def test_next_round_window_plan_is_feasible():
+    """VERDICT r8 directive #6: assert the cycle stays solvable one
+    round AHEAD, not just this round.  After the current window runs at
+    round newest+1 (every in-window entry's latest row becomes
+    newest+1), the entries that MUST occupy round newest+2's window are
+    those whose latest row would otherwise end that round more than
+    MAX_AGE old.  If that must-set exceeds WINDOW_SLOTS the rotation is
+    already over-committed and no r+1 plan can satisfy the contract —
+    catch it now, a full round early."""
+    reg.all_queries()
+    latest, newest = _ledger()
+    if newest == 0:
+        return  # no driver artifacts yet (fresh clone)
+    window = set(reg._CHECKED_WINDOW_FIRST)
+    this_round = newest + 1
+    next_round = newest + 2
+    # Project the ledger forward: this round's window refreshes to
+    # this_round; everything else keeps its current latest row.
+    projected = {
+        name: (this_round if name in window else latest.get(name, 0))
+        for name, spec in reg.QUERIES.items()
+        if spec.oracle is not None
+    }
+    must_next = sorted(
+        name for name, last in projected.items() if next_round - last > MAX_AGE
+    )
+    assert len(must_next) <= WINDOW_SLOTS, (
+        f"round {next_round} would need {len(must_next)} forced slots "
+        f"(> {WINDOW_SLOTS}): {must_next}"
+    )
