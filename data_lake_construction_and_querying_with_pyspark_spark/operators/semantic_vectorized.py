@@ -276,6 +276,164 @@ def shortlist_assign_kernel(V, st, nprobe):
     return best_cell
 
 
+def anchor_shard_bounds(offs, shards: int) -> list[tuple[int, int]]:
+    """Split the m anchors into ≤``shards`` contiguous [alo, ahi)
+    ranges balanced by CENTROID-BLOCK rows (bucket sizes are skewed —
+    balancing by anchor count would leave one wave holding most of the
+    index). Greedy cut at each multiple of total/shards; every anchor
+    lands in exactly one range. Pure function of (offs, shards) so the
+    wave partition is deterministic and Spark-free testable."""
+    m = len(offs) - 1
+    shards = max(1, min(shards, m))
+    total = int(offs[-1])
+    bounds: list[tuple[int, int]] = []
+    alo = 0
+    for s in range(1, shards):
+        target = total * s // shards
+        ahi = alo + 1
+        while ahi < m and int(offs[ahi]) < target:
+            ahi += 1
+        if ahi >= m:
+            break
+        bounds.append((alo, ahi))
+        alo = ahi
+    bounds.append((alo, m))
+    return bounds
+
+
+def shortlist_assign_partial_kernel(V, st, nprobe):
+    """Shard-restricted body of :func:`shortlist_assign_kernel`: same
+    full-anchor probe step (``st`` carries the complete anchor matrix,
+    so every wave computes the identical top-``nprobe`` probes), then
+    the per-anchor bucket scan runs ONLY for probed anchors in
+    ``[st['alo'], st['ahi'])`` — each such (rows, anchor) GEMM has the
+    same row set and the same contiguous centroid block as the
+    one-piece kernel, so partial (d2, cell) values are bit-identical
+    to the corresponding one-piece candidates. Returns
+    ``(hit_mask, d2, cell)``; rows with no probe in range are unhit.
+    Module-level so tests/test_vectorized_kernels.py can pin
+    sharded == whole without Spark."""
+    A, a2 = st["A"], st["a2"]
+    alo, ahi = st["alo"], st["ahi"]
+    Cb, cellsb, c2b, offs = st["Cb"], st["cellsb"], st["c2b"], st["offs"]
+    v2 = np.einsum("ij,ij->i", V, V)
+    d2a = v2[:, None] - 2.0 * (V @ A.T) + a2[None, :]
+    probes = np.argsort(d2a, axis=1, kind="stable")[:, :nprobe]
+    B = V.shape[0]
+    best_d2 = np.full(B, np.inf)
+    best_cell = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+    rows_r = np.repeat(np.arange(B), probes.shape[1])
+    anch_r = probes.ravel()
+    keep = (anch_r >= alo) & (anch_r < ahi)
+    rows_r, anch_r = rows_r[keep], anch_r[keep]
+    o = np.argsort(anch_r, kind="stable")
+    rows_r, anch_r = rows_r[o], anch_r[o]
+    uanch, start = np.unique(anch_r, return_index=True)
+    bounds = np.append(start, anch_r.size)
+    for ui, a in enumerate(uanch):
+        lo, hi = offs[a - alo], offs[a - alo + 1]
+        if hi == lo:
+            continue
+        r = rows_r[bounds[ui] : bounds[ui + 1]]
+        D = v2[r][:, None] - 2.0 * (V[r] @ Cb[lo:hi].T) + c2b[lo:hi][None, :]
+        j = D.argmin(axis=1)
+        d2 = D[np.arange(r.size), j]
+        cl = cellsb[lo:hi][j]
+        cur_d2, cur_cl = best_d2[r], best_cell[r]
+        better = (d2 < cur_d2) | ((d2 == cur_d2) & (cl < cur_cl))
+        rb = r[better]
+        best_d2[rb] = d2[better]
+        best_cell[rb] = cl[better]
+    return np.isfinite(best_d2), best_d2, best_cell
+
+
+def _shortlist_assign_sharded(
+    spark: SparkSession,
+    base: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    nprobe: int,
+    index_shards: int,
+    scratch_dir: str | None,
+) -> DataFrame:
+    """Wave-sharded body of :func:`shortlist_assign_vectorized` (see
+    its docstring for the contract and the bit-identity argument).
+    Each wave broadcasts one anchor-range slice of the index, stages
+    the skinny partial winners to scratch parquet, and destroys the
+    broadcast before the next wave plans — peak per-worker index
+    memory divides by the shard count while the cross-wave
+    ``min(struct(d2, cell))`` reduce reproduces the kernel's exact
+    tie-break."""
+    import tempfile
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
+        best_effort_jvm_gc,
+    )
+
+    idx = _centroid_index(centroids, m)
+    nprobe_eff = min(nprobe, len(idx["a2"]))
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="semshard_waves_")
+    offs = idx["offs"]
+    partial_schema = StructType(
+        [
+            base.schema["vec_id"],
+            StructField("d2", DoubleType(), True),
+            StructField("cell", IntegerType(), True),
+        ]
+    )
+    wave_paths = []
+    for si, (alo, ahi) in enumerate(anchor_shard_bounds(offs, index_shards)):
+        blo, bhi = int(offs[alo]), int(offs[ahi])
+        sub = {
+            "A": idx["A"],
+            "a2": idx["a2"],
+            "alo": alo,
+            "ahi": ahi,
+            "Cb": np.ascontiguousarray(idx["Cb"][blo:bhi]),
+            "cellsb": idx["cellsb"][blo:bhi],
+            "c2b": idx["c2b"][blo:bhi],
+            "offs": offs[alo : ahi + 1] - blo,
+        }
+        bc = spark.sparkContext.broadcast(sub)
+
+        def partial(batches, _bc=bc):
+            st = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                hit, d2, cell = shortlist_assign_partial_kernel(V, st, nprobe_eff)
+                if not hit.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values[hit],
+                        "d2": d2[hit],
+                        "cell": cell[hit].astype(np.int32),
+                    }
+                )
+
+        path = f"{scratch}/assign_wave_{si}"
+        base.mapInPandas(partial, partial_schema).write.mode("overwrite").parquet(path)
+        wave_paths.append(path)
+        # The staged parquet is the wave's only output: drop the
+        # broadcast NOW so the next wave's slice is the only live copy.
+        try:
+            bc.destroy()
+        except Exception:
+            bc.unpersist()
+        best_effort_jvm_gc(spark)
+    best = (
+        spark.read.parquet(*wave_paths)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("b"))
+        .select("vec_id", F.col("b.cell").alias("cell"))
+    )
+    # Re-attach v: one linear unique-key exchange — the only shuffle
+    # the sharded path adds over the zero-shuffle one-piece scan.
+    return base.join(best, "vec_id").select("vec_id", "v", "cell")
+
+
 def mark_within_cell_dups_vectorized(assigned: DataFrame, tau: float) -> DataFrame:
     """SemDeDup's within-cell pair stage as one per-cell GEMM — the
     vectorized twin of ``semantic.mark_within_cell_dups`` (same
@@ -331,6 +489,8 @@ def semantic_dedup_sampled_vectorized(
     tau: float = TAU,
     nprobe: int = SEM_NPROBE,
     sample_per_cell: int = SAMPLE_PER_CELL,
+    index_shards: int = 1,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """``semantic.semantic_dedup_sampled`` with every fold-scored stage
     swapped for its vectorized twin: sample-trained Lloyd's (same seeds,
@@ -347,7 +507,15 @@ def semantic_dedup_sampled_vectorized(
     disk, while the few extra passes it would save are plain columnar
     parquet scans (~9 GB each, seconds). The TRAINING SAMPLE stays
     persisted — it is 16× smaller and read once per Lloyd's
-    iteration."""
+    iteration.
+
+    ``index_shards > 1`` routes every assignment (each training
+    iteration's and the full-corpus final) through the wave-sharded
+    centroid index (``shortlist_assign_vectorized`` docstring) —
+    value-identical, bounds per-worker index memory by 1/s for the
+    40M→1B trajectory where the one-piece broadcast (~800 MB at 100M,
+    ~5 GB at 1B) is the last single-structure ceiling. Waves stage
+    under ``scratch_dir`` (cluster-visible off local-mode)."""
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     n = base.count()
     sample = training_sample(base, n, k, sample_per_cell)
@@ -355,10 +523,18 @@ def semantic_dedup_sampled_vectorized(
         sample = sample.persist()
     centroids = _seed_centroids(spark, base, k)
     m = coarse_m(k)
-    for _ in range(iters - 1):
-        assigned_s = shortlist_assign_vectorized(spark, sample, centroids, m, nprobe)
+    for it in range(iters - 1):
+        assigned_s = shortlist_assign_vectorized(
+            spark, sample, centroids, m, nprobe,
+            index_shards=index_shards,
+            scratch_dir=None if scratch_dir is None else f"{scratch_dir}/iter_{it}",
+        )
         centroids = _materialize_centroids(spark, kmeans_update(assigned_s))
-    final = shortlist_assign_vectorized(spark, base, centroids, m, nprobe)
+    final = shortlist_assign_vectorized(
+        spark, base, centroids, m, nprobe,
+        index_shards=index_shards,
+        scratch_dir=None if scratch_dir is None else f"{scratch_dir}/final",
+    )
     return mark_within_cell_dups_vectorized(final, tau)
 
 

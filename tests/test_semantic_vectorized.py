@@ -149,3 +149,53 @@ def test_blocked_pair_scan_on_a_hot_cell(spark):
     flagged = {r["vec_id"] for r in out.filter("is_semantic_dup").collect()}
     assert flagged == set(range(1, n))
     spark.catalog.clearCache()
+
+
+def test_sharded_index_assignment_is_bit_identical_to_whole(spark):
+    """index_shards routes the assignment through anchor-range wave
+    broadcasts + a cross-wave min(struct(d2, cell)) reduce; the
+    contract (shortlist_assign_vectorized docstring) is BIT-identity
+    with the one-piece index at fixed batch geometry — every per-
+    (rows, anchor) GEMM is the same either way. Exact dict equality,
+    not an agreement band."""
+    base = _base(spark).persist()
+    n = base.count()
+    k = sem.derive_k(n)
+    m = sem.coarse_m(k)
+    cents = sem._seed_centroids(spark, base, k)
+    whole = {
+        r["vec_id"]: r["cell"]
+        for r in semv.shortlist_assign_vectorized(spark, base, cents, m)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    sharded = {
+        r["vec_id"]: r["cell"]
+        for r in semv.shortlist_assign_vectorized(
+            spark, base, cents, m, index_shards=3
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert sharded == whole and len(whole) == n
+    base.unpersist()
+
+
+def test_sharded_end_to_end_matches_whole_flags(spark):
+    """semantic_dedup_sampled_vectorized(index_shards=4) reproduces the
+    unsharded twin's full (vec_id -> is_semantic_dup) flag map exactly:
+    sharded assignments are bit-identical per iteration, so trained
+    centroids, final cells, and the pair stage all coincide."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    k = sem.derive_k(emb.count())
+    whole = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in semv.semantic_dedup_sampled_vectorized(spark, emb, k=k).collect()
+    }
+    sharded = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in semv.semantic_dedup_sampled_vectorized(
+            spark, emb, k=k, index_shards=4
+        ).collect()
+    }
+    assert sharded == whole

@@ -269,3 +269,79 @@ def test_owner_scan_block_size_invariant(monkeypatch, block):
     small = sv.centroid_index_kernel(cells, C, m=6)
     for key in base:
         assert base[key].tolist() == small[key].tolist(), key
+
+
+# -------------------------------------------------- sharded index waves
+# The wave-sharded assignment (semantic_vectorized._shortlist_assign_
+# sharded) claims BIT-IDENTITY with the one-piece kernel: every
+# per-(rows, anchor) GEMM is the same either way, and the cross-wave
+# min(struct(d2, cell)) reduce is the kernel's exact tie-break. These
+# tests pin that claim Spark-free: run the partial kernel over every
+# shard of the anchor range, reduce lexicographically, and require
+# exact equality with shortlist_assign_kernel — plus the bounds
+# helper's partition invariants.
+
+
+def _reduce_shards(V, st_idx, nprobe, shards):
+    bounds = sv.anchor_shard_bounds(st_idx["offs"], shards)
+    offs = st_idx["offs"]
+    B = V.shape[0]
+    best_d2 = np.full(B, np.inf)
+    best_cell = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+    for alo, ahi in bounds:
+        blo, bhi = int(offs[alo]), int(offs[ahi])
+        sub = {
+            "A": st_idx["A"],
+            "a2": st_idx["a2"],
+            "alo": alo,
+            "ahi": ahi,
+            "Cb": np.ascontiguousarray(st_idx["Cb"][blo:bhi]),
+            "cellsb": st_idx["cellsb"][blo:bhi],
+            "c2b": st_idx["c2b"][blo:bhi],
+            "offs": offs[alo : ahi + 1] - blo,
+        }
+        hit, d2, cell = sv.shortlist_assign_partial_kernel(V, sub, nprobe)
+        better = hit & (
+            (d2 < best_d2) | ((d2 == best_d2) & (cell < best_cell))
+        )
+        best_d2[better] = d2[better]
+        best_cell[better] = cell[better]
+    return bounds, best_cell
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(int_vec, min_size=1, max_size=12),  # queries
+    st.lists(int_vec, min_size=1, max_size=16),  # centroids
+    st.integers(min_value=1, max_value=6),  # m
+    st.integers(min_value=1, max_value=4),  # nprobe
+    st.integers(min_value=1, max_value=7),  # requested shards
+    st.randoms(use_true_random=False),
+)
+def test_sharded_partial_kernels_reduce_to_whole(qs, cs, m, nprobe, shards, rnd):
+    V = np.array(qs, dtype=np.float64)
+    C = np.array(cs, dtype=np.float64)
+    cell_list = [i * 2 + 1 for i in range(len(cs))]
+    rnd.shuffle(cell_list)
+    cells = np.array(cell_list, dtype=np.int64)
+    st_idx = sv.centroid_index_kernel(cells, C, m)
+    nprobe_eff = min(nprobe, len(st_idx["a2"]))
+    whole = sv.shortlist_assign_kernel(V, st_idx, nprobe_eff)
+    bounds, sharded = _reduce_shards(V, st_idx, nprobe_eff, shards)
+    assert sharded.tolist() == whole.tolist()
+    # partition invariants: contiguous, non-empty, covers [0, m)
+    m_eff = len(st_idx["a2"])
+    assert bounds[0][0] == 0 and bounds[-1][1] == m_eff
+    for (alo, ahi), (nlo, _) in zip(bounds, bounds[1:]):
+        assert ahi == nlo
+    assert all(alo < ahi for alo, ahi in bounds)
+    assert len(bounds) <= max(1, min(shards, m_eff))
+
+
+def test_anchor_shard_bounds_balances_by_block_rows():
+    # skewed buckets: anchor 0 owns 90 rows, the rest own 1 each —
+    # cutting by anchor count would put ~all rows in shard 0
+    offs = np.array([0, 90, 91, 92, 93, 94, 95, 96, 97, 98, 99, 100])
+    bounds = sv.anchor_shard_bounds(offs, 2)
+    assert bounds[0] == (0, 1)  # the hot anchor rides alone
+    assert bounds[-1][1] == len(offs) - 1
