@@ -581,9 +581,10 @@ _SB_ALPHA = 0.4
 _SB_ALPHA2 = 0.16
 
 
-@register(
-    "lm_stupid_backoff_scores",
-    oracle=f"""
+# The full stupid-backoff scoring statement, shared verbatim by the
+# lm_stupid_backoff_scores oracle and (as a parenthesized subquery) by
+# the lm_perplexity_buckets oracle built on top of it.
+_LM_SB_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -638,8 +639,10 @@ _SB_ALPHA2 = 0.16
            COUNT(*) AS n_trigrams,
            CAST(SUM(CAST(s AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS sb_score
     FROM j GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("lm_stupid_backoff_scores", oracle=_LM_SB_ORACLE)
 def lm_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram language-model document scoring — the CCNet-style
     quality signal (Wenzek et al. 2020, arXiv:1911.00359 §3.3: score
@@ -745,4 +748,276 @@ def lm_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         (F.sum(s.cast("decimal(20,12)")).cast("double") / F.count(F.lit(1))).alias("sb_score"),
+    )
+
+
+# --- CCNet perplexity buckets -------------------------------------------------
+
+_PPL_SAMPLE_TARGET = 4096  # docs in the cutoff-estimation sample (~bounded window)
+_PPL_SALT = "pplsample:"
+
+
+@register(
+    "lm_perplexity_buckets",
+    oracle=f"""
+    WITH scored AS ({_LM_SB_ORACLE}),
+    nd AS (SELECT COUNT(*) AS ndocs FROM documents),
+    thr AS (
+        SELECT GREATEST(1, LEAST(65536,
+               ({_PPL_SAMPLE_TARGET} * 65536) // GREATEST(1, ndocs))) AS t
+        FROM nd
+    ),
+    samp AS (
+        SELECT s.doc_id, s.sb_score
+        FROM scored s, thr
+        WHERE thr.t >= 65536
+           OR substr(md5('{_PPL_SALT}' || CAST(s.doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', thr.t)
+    ),
+    ranked AS (
+        SELECT doc_id, sb_score,
+               ROW_NUMBER() OVER (ORDER BY sb_score DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM samp
+    ),
+    bnd AS (
+        SELECT MAX(CASE WHEN rn = (cnt + 2) // 3 THEN sb_score END) AS b1s,
+               MAX(CASE WHEN rn = (cnt + 2) // 3 THEN doc_id END) AS b1d,
+               MAX(CASE WHEN rn = (2 * cnt + 2) // 3 THEN sb_score END) AS b2s,
+               MAX(CASE WHEN rn = (2 * cnt + 2) // 3 THEN doc_id END) AS b2d
+        FROM ranked
+    )
+    SELECT s.doc_id,
+           s.n_trigrams,
+           s.sb_score,
+           CASE
+             WHEN b1s IS NOT NULL
+                  AND (s.sb_score > b1s OR (s.sb_score = b1s AND s.doc_id <= b1d))
+               THEN 'head'
+             WHEN b2s IS NOT NULL
+                  AND (s.sb_score > b2s OR (s.sb_score = b2s AND s.doc_id <= b2d))
+               THEN 'middle'
+             ELSE 'tail'
+           END AS ppl_bucket
+    FROM scored s CROSS JOIN bnd
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.1: bucket every document by where its LM score
+    falls in the corpus score distribution, with the percentile
+    cutoffs estimated from a SAMPLE of the scored corpus — the paper
+    computes its perplexity thresholds per language on a fraction of
+    the data, not with a global sort). Scores come from
+    ``lm_stupid_backoff_scores`` (higher sb_score = better-modeled
+    text, so bucket 1 of the descending order is 'head').
+
+    Cutoff construction, deterministic and SQL-replayable end-to-end:
+    * sample = scored docs passing the md5-threshold draw
+      ``substr(md5('{_PPL_SALT}' || doc_id), 1, 4) < thr_hex`` with
+      ``thr = clamp(target·65536 // n_docs, 1, 65536)`` — the
+      ``training_sample`` idiom (semantic.py), RNG-free and
+      partitioning-independent; n_docs is the DOCUMENTS row count so
+      both engines derive thr from the same table scan. thr saturated
+      ⇒ sample ≡ scored corpus (tiny-corpus fixtures take this path).
+    * boundaries = the sample rows at ranks ceil(s/3) and ceil(2s/3)
+      of (sb_score DESC, doc_id ASC) — integer arithmetic
+      ``(s + 2) div 3`` / ``(2s + 2) div 3``, never a float ceil.
+    * every scored doc compares (sb_score, doc_id) against the two
+      boundary pairs SCALAR-WISE (score >, or = with doc_id ≤) — no
+      struct-ordering semantics to align across engines. An empty
+      sample (probability ~(1-2^-16)^n with the thr floor of 1) would
+      yield NULL boundaries and bucket everything 'tail', identically
+      in both engines.
+
+    Scale shape (100 TB): the rank window runs over the BOUNDED sample
+    (~{_PPL_SAMPLE_TARGET} rows — single-partition by construction,
+    the seed-numbering trick from semantic.py), never the corpus; the
+    corpus-side work is one scan of the scored stream against a
+    broadcast 1-row boundary table. No global sort, no NTILE over n
+    rows — the scalable re-expression of CCNet's bucketing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm_stupid_backoff_scores(spark, sf_dir)
+    ndocs = docs.count()
+    thr = max(1, min(65536, (_PPL_SAMPLE_TARGET * 65536) // max(1, ndocs)))
+    if thr >= 65536:
+        samp = scores
+    else:
+        samp = scores.filter(
+            F.substring(
+                F.md5(F.concat(F.lit(_PPL_SALT), F.col("doc_id").cast("string"))), 1, 4
+            )
+            < format(thr, "04x")
+        )
+    one = F.substring(F.col("doc_id").cast("string"), 1, 0)  # constant, non-foldable
+    w_ord = Window.partitionBy(one).orderBy(F.desc("sb_score"), F.asc("doc_id"))
+    w_all = Window.partitionBy(one)
+    ranked = samp.select(
+        "doc_id",
+        "sb_score",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    bnd = ranked.agg(
+        F.max(F.when(F.col("rn") == F.expr("(cnt + 2) div 3"), F.col("sb_score"))).alias("b1s"),
+        F.max(F.when(F.col("rn") == F.expr("(cnt + 2) div 3"), F.col("doc_id"))).alias("b1d"),
+        F.max(F.when(F.col("rn") == F.expr("(2 * cnt + 2) div 3"), F.col("sb_score"))).alias("b2s"),
+        F.max(F.when(F.col("rn") == F.expr("(2 * cnt + 2) div 3"), F.col("doc_id"))).alias("b2d"),
+    )
+    before_or_at = lambda bs, bd: (F.col("sb_score") > F.col(bs)) | (  # noqa: E731
+        (F.col("sb_score") == F.col(bs)) & (F.col("doc_id") <= F.col(bd))
+    )
+    return scores.crossJoin(F.broadcast(bnd)).select(
+        "doc_id",
+        "n_trigrams",
+        "sb_score",
+        F.when(F.col("b1s").isNotNull() & before_or_at("b1s", "b1d"), F.lit("head"))
+        .when(F.col("b2s").isNotNull() & before_or_at("b2s", "b2d"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+# --- DSIR hashed n-gram importance weights ------------------------------------
+
+_DSIR_BUCKET_CHARS = 3  # md5-hex prefix chars per feature: 16^3 = 4096 buckets
+_DSIR_BUCKETS = 16**_DSIR_BUCKET_CHARS
+_DSIR_TARGET_SOURCE = "src0"  # the curated target distribution's source tag
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               substr(md5('dsir1:' || w), 1, {_DSIR_BUCKET_CHARS}) AS fb
+        FROM (SELECT doc_id, source, unnest(toks) AS w FROM toks)
+        UNION ALL
+        SELECT doc_id, source,
+               substr(md5('dsir2:' || array_to_string(toks[i:i+1], ' ')),
+                      1, {_DSIR_BUCKET_CHARS}) AS fb
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ),
+    tgt AS (
+        SELECT fb, COUNT(*) AS ct FROM feats
+        WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY fb
+    ),
+    rawc AS (SELECT fb, COUNT(*) AS cr FROM feats GROUP BY fb),
+    tots AS (
+        SELECT (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt,
+               (SELECT SUM(cr) FROM rawc) AS nr
+    ),
+    j AS (
+        SELECT f.doc_id,
+               CAST(COALESCE(t.ct, 0) + 1 AS HUGEINT)
+                 * CAST(nr + {_DSIR_BUCKETS} AS HUGEINT)
+                 * 1000000000000
+                 // (CAST(r.cr + 1 AS HUGEINT)
+                     * CAST(nt + {_DSIR_BUCKETS} AS HUGEINT)) AS s12
+        FROM feats f
+        LEFT JOIN tgt t USING (fb)
+        JOIN rawc r USING (fb)
+        CROSS JOIN tots
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_features,
+           CAST(SUM(s12) AS DOUBLE) / COUNT(*) / 1000000000000.0 AS dsir_weight
+    FROM j GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): weight every raw-pool document by how much more
+    likely its hashed n-gram features are under a curated TARGET
+    distribution than under the raw pool — the standard pretraining
+    move for tilting a crawl toward a quality domain. Features are
+    unigrams and bigrams hashed into {_DSIR_BUCKETS} buckets
+    (paper §3: hashed n-gram bag); the bucket is an md5-hex PREFIX
+    (salts ``dsir1:``/``dsir2:``) so both engines hash identically —
+    the `dedup.py` fingerprint discipline, never engine-native hash().
+    Target distribution = documents tagged source='{_DSIR_TARGET_SOURCE}'
+    (the curated-source stand-in, as the paper's target is e.g.
+    Wikipedia); raw = the whole pool, every document of which gets a
+    weight.
+
+    Determinism contract — STRONGER than the LM/BM25 raw-ratio
+    discipline, after measurement: the paper's log-likelihood-ratio
+    Σ log(p_t(b)/p_r(b)) is replaced by the mean per-feature
+    PROBABILITY RATIO with add-one smoothing,
+    ``((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B))``, and the ratio is evaluated
+    in INTEGER space: ``s12 = (ct+1)·(Nr+B)·10¹² div ((cr+1)·(Nt+B))``
+    (exact 128-bit floor division — Spark DECIMAL(38,0) ``div``,
+    DuckDB HUGEINT ``//``; equality property-checked against Python
+    bigints). A double-then-DECIMAL(20,12) cut was measured WRONG here
+    at sf0.001: ratios of small integers can have shortest decimal
+    reprs landing exactly on the half point of the cut digit, where
+    Spark (rounds the shortest-repr string) and DuckDB (rounds the
+    exact binary value) disagree — e.g. 0.4568451104525 → …453 vs
+    …452. The integer form has no float anywhere before the final
+    per-doc mean (exact SUM of s12, then two IEEE divisions in the
+    same shape in both engines). Overflow bound: the dividend is
+    < (Nt)·(Nr+B)·10¹² — inside 38 digits until target·raw token
+    products reach ~1e26, document-scale far beyond 100 TB.
+    Zero-token documents have no features and drop out, like the
+    LM's <3-token docs.
+
+    Scale shape (100 TB): feature generation is linear map-side work;
+    both count tables are BOUNDED at {_DSIR_BUCKETS} rows, so their
+    probes broadcast (explicit hint) and the totals are a broadcast
+    1-row cross join — the per-feature scoring never shuffles. The one
+    corpus-scale exchange is the final groupBy(doc_id). The bucket
+    count is the paper's variance/collision dial: raise
+    _DSIR_BUCKET_CHARS to 4 (65 536 buckets) for 100 TB corpora —
+    still broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "source", _toks().alias("toks"))
+    n = F.size("toks")
+    bucket = lambda salt, g: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(salt), g)), 1, _DSIR_BUCKET_CHARS
+    )
+    uni = toked.select("doc_id", "source", F.explode("toks").alias("w")).select(
+        "doc_id", "source", bucket("dsir1:", F.col("w")).alias("fb")
+    )
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = toked.select("doc_id", "source", F.explode(starts).alias("i"), "toks").select(
+        "doc_id",
+        "source",
+        bucket("dsir2:", F.concat_ws(" ", F.slice("toks", F.col("i"), 2))).alias("fb"),
+    )
+    feats = uni.unionByName(bi)
+    tgt = (
+        feats.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rawc = feats.groupBy("fb").agg(F.count(F.lit(1)).alias("cr"))
+    tots = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
+        rawc.agg(F.sum("cr").alias("nr"))
+    )
+    j = (
+        feats.join(F.broadcast(tgt), "fb", "left")
+        .join(F.broadcast(rawc), "fb")
+        .crossJoin(F.broadcast(tots))
+    )
+    # exact 128-bit floor division — see the determinism contract above
+    s12 = F.expr(
+        f"CAST(CAST(coalesce(ct, 0) + 1 AS DECIMAL(19,0))"
+        f"     * CAST(nr + {_DSIR_BUCKETS} AS DECIMAL(19,0))"
+        f"     * 1000000000000 AS DECIMAL(38,0))"
+        f" div (CAST(cr + 1 AS DECIMAL(19,0))"
+        f"      * CAST(nt + {_DSIR_BUCKETS} AS DECIMAL(19,0)))"
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_features"),
+        (
+            F.sum(s12).cast("double") / F.count(F.lit(1)) / F.lit(1000000000000.0)
+        ).alias("dsir_weight"),
     )

@@ -126,12 +126,11 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "train_val_test_split",
     "unpivot_lineitem_measures",
     "weighted_systematic_draw",
-    # -- r7-aged re-verification picks (17 of 50, complexity-first;
-    # the 33 left out keep green r7 rows and rotate r10) --
+    # -- r7-aged re-verification picks (15 of 50, complexity-first;
+    # the 35 left out keep green r7 rows and rotate r10) --
     "acid_change_feed",
     "acid_delete_data_skipping",
     "acid_orders_lifecycle",
-    "bpe_encode_documents",
     "bpe_learn_merges",
     "decontamination_overlap",
     "dedup_canonical_corpus",
@@ -143,8 +142,14 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "knn_graph_topk",
     "knn_ivf_pq",
     "knn_pq_adc",
-    "rerank_bm25_candidates",
     "semantic_dedup_sampled",
+    # -- registered this round: never driver-checked, contract
+    # requires in-window now (they displace the two simplest of the
+    # originally-planned 17 r7-aged picks, bpe_encode_documents and
+    # rerank_bm25_candidates, which keep green r7 rows — exactly 2
+    # rounds old at r9, inside the contract, r10 base = 35) --
+    "lm_perplexity_buckets",
+    "dsir_importance_weights",
 )
 
 

@@ -145,3 +145,87 @@ def test_stupid_backoff_scores_hit_all_three_arms(spark, tmp_path):
         7: (1, 0.2),
         11: (1, 0.04),
     }
+
+
+def test_perplexity_buckets_tertiles_and_tie_break(spark, tmp_path):
+    """CCNet head/middle/tail on the LM test corpus plus one score
+    tie. Scored docs and sb_scores (see the stupid-backoff test):
+    1→1.0, 5→0.75, 7→0.2, 13→0.2 (tie with 7), 11→0.04, 3→0.0.
+    Sample saturates (6 docs ≪ target), so cutoffs come from the full
+    ranking 1,5,7,13,11,3; s=6 ⇒ boundary ranks (6+2)div3 = 2 and
+    (12+2)div3 = 4 ⇒ b1=(0.75, doc 5), b2=(0.2, doc 13). The tie pair
+    lands in 'middle' TOGETHER only because the boundary comparison
+    breaks the 0.2 tie by doc_id ≤ 13 — the rule under test."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+        lm_perplexity_buckets,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a b c a b c"),  # train
+            (1, "a b c"),
+            (2, "z z"),          # train
+            (3, "a b d"),
+            (5, "b c a b"),
+            (7, "c c a"),
+            (11, "d d z"),
+            (13, "c c a"),       # same score as doc 7: the tie
+        ],
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"] for r in lm_perplexity_buckets(spark, sf).collect()
+    }
+    assert got == {1: "head", 5: "head", 7: "middle", 13: "middle", 11: "tail", 3: "tail"}
+
+
+def test_dsir_weights_exact_integer_arithmetic(spark, tmp_path):
+    """DSIR weights on a hand-computable corpus, checked against the
+    exact integer formula (s12 = (ct+1)·(nr+B)·10¹² div
+    ((cr+1)·(nt+B)); weight = sum(s12)/n/1e12 in that float op order):
+
+    target doc 0 (src0) 'a b'; raw adds doc 1 (src1) 'a b' and doc 2
+    (src1) 'c'. Features per doc: unigrams + the bigram. Counts:
+    nt = 3 (a, b, 'a b' once each), nr = 7; doc 2's 'c' is absent
+    from the target table (ct = 0 via the left-join coalesce)."""
+    import hashlib
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+        _DSIR_BUCKET_CHARS,
+        _DSIR_BUCKETS,
+        dsir_importance_weights,
+    )
+
+    # the expectation below assumes the 4 features hash to distinct buckets
+    buckets = {
+        hashlib.md5(f.encode()).hexdigest()[:_DSIR_BUCKET_CHARS]
+        for f in ("dsir1:a", "dsir1:b", "dsir1:c", "dsir2:a b")
+    }
+    assert len(buckets) == 4
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b", "en", "src0", 3),
+            (1, "a b", "en", "src1", 3),
+            (2, "c", "en", "src1", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    B, nt, nr = _DSIR_BUCKETS, 3, 7
+
+    def s12(ct, cr):
+        return ((ct + 1) * (nr + B) * 10**12) // ((cr + 1) * (nt + B))
+
+    # docs 0 and 1 share all three features (ct=1, cr=2 each)
+    w01 = float(3 * s12(1, 2)) / 3 / 1e12
+    w2 = float(s12(0, 1)) / 1 / 1e12
+    got = {
+        r["doc_id"]: (r["n_features"], r["dsir_weight"])
+        for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (3, w01), 1: (3, w01), 2: (1, w2)}
+    # the target-matching docs outweigh the out-of-target doc
+    assert w01 > w2

@@ -164,6 +164,8 @@ _NESTED_LOOP_OK = {
     "tfidf_top_terms_per_doc",  # postings × broadcast 1-row doc count
     "pagerank_trade_network",  # rank table × broadcast 1-row node-count/dangling-mass
     "lm_stupid_backoff_scores",  # scoring stream × broadcast 1-row train-token total
+    "lm_perplexity_buckets",  # scored stream × broadcast 1-row boundary table
+    "dsir_importance_weights",  # feature stream × broadcast 1-row (nt, nr) totals
 }
 
 _SLOW = {
