@@ -1305,38 +1305,103 @@ def dedup_span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange but pays O(len × drops) per doc inside the filter
     lambda; the join form stays linear for pathological
     boilerplate-heavy documents.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    return span_scrub_documents(spark, load_table(spark, sf_dir, "documents"))
+
+
+def span_scrub_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    span_batches: int = 1,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Library core of :func:`dedup_span_scrub_documents` over an
+    arbitrary documents frame — same semantics and output contract
+    (see the registered face's docstring).
+
+    ``span_batches`` is the posting shuffle's scratch-bounding wave
+    knob (the `table_batches` move, fourth consumer): the 10M rung
+    measured the single-pass span exchange + its rank-window sort
+    spill past this box's scratch ceiling ("No space left on device",
+    docs/SCALING.md r9). With ``span_batches=k`` the SPAN key space is
+    partitioned by ``pmod(xxhash64(s), k)`` and each wave computes
+    drop positions for its spans only, staging the skinny
+    (doc_id, q) INT pairs to ``scratch_dir`` parquet and releasing
+    its shuffle before the next wave plans — peak posting scratch
+    divides by k. Values are EXACTLY single-pass: every span's
+    posting list lives wholly inside one wave (the hash partitions
+    SPANS, never occurrences), so each occurrence's rank — and with
+    it the drop set — is computed from the identical list, and the
+    anti-join consumes drop existence, so cross-wave duplicate
+    (doc_id, q) pairs (overlapping spans from different waves) need
+    no re-distinct. The hash is engine-internal (wave membership
+    never reaches the output), so the DuckDB oracle is untouched.
+    ``scratch_dir`` must be cluster-visible off local-mode and
+    outlive actions on the returned lazy frame (the
+    `canonical_corpus_embeddings_vectorized` caveats)."""
     toked = docs.select("doc_id", _toks().alias("toks"))
     n = F.size("toks")
     starts = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    pos = toked.select(
-        "doc_id",
-        F.explode(starts).alias("p"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        F.col("p").cast("int").alias("p"),
-        F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("s"),
-    )
-    pos = pos.repartition(span_shuffle_partitions(spark, docs), "s")
-    # rank ≥2 already implies the span has ≥2 occurrences — no COUNT
-    # window needed alongside the row_number.
-    occ = pos.select(
-        "doc_id",
-        "p",
-        F.row_number().over(Window.partitionBy("s").orderBy("doc_id", "p")).alias("rn"),
-    )
-    drops = (
-        occ.filter(F.col("rn") >= 2)
-        .select(
+
+    def pos_frame() -> DataFrame:
+        return toked.select(
             "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + (_SPAN_K - 1))).alias("q"),
+            F.explode(starts).alias("p"),
+            F.col("toks"),
+        ).select(
+            "doc_id",
+            F.col("p").cast("int").alias("p"),
+            F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("s"),
         )
-        .select("doc_id", F.col("q").cast("int").alias("q"))
-        .distinct()
-    )
+
+    def drops_frame(pos: DataFrame) -> DataFrame:
+        # rank ≥2 already implies the span has ≥2 occurrences — no
+        # COUNT window needed alongside the row_number.
+        occ = pos.select(
+            "doc_id",
+            "p",
+            F.row_number()
+            .over(Window.partitionBy("s").orderBy("doc_id", "p"))
+            .alias("rn"),
+        )
+        return (
+            occ.filter(F.col("rn") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("p"), F.col("p") + (_SPAN_K - 1))
+                ).alias("q"),
+            )
+            .select("doc_id", F.col("q").cast("int").alias("q"))
+            .distinct()
+        )
+
+    reducers = span_shuffle_partitions(spark, docs)
+    if span_batches <= 1:
+        drops = drops_frame(pos_frame().repartition(reducers, "s"))
+    else:
+        import tempfile
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup_vectorized import (
+            best_effort_jvm_gc,
+        )
+
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="spanscrub_waves_")
+        par = spark.sparkContext.defaultParallelism
+        wave_red = max(par, reducers // span_batches)
+        wave_paths = []
+        for wi in range(span_batches):
+            pos_w = pos_frame().filter(
+                F.pmod(F.xxhash64("s"), F.lit(span_batches)) == wi
+            )
+            path = f"{scratch}/drops_wave_{wi}"
+            drops_frame(pos_w.repartition(wave_red, "s")).write.mode(
+                "overwrite"
+            ).parquet(path)
+            wave_paths.append(path)
+            best_effort_jvm_gc(spark)
+        drops = spark.read.parquet(*wave_paths)
     tok_pos = toked.select("doc_id", F.posexplode("toks").alias("i0", "w")).select(
         "doc_id", (F.col("i0") + 1).cast("int").alias("q"), "w"
     )

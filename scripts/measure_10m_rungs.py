@@ -256,7 +256,6 @@ def main() -> None:
         from pyspark.sql import Observation
 
         from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
-            dedup_span_scrub_documents,
             span_shuffle_partitions,
         )
 
@@ -269,12 +268,21 @@ def main() -> None:
         # occurrence), so dropped ≥ n/40·(120+119). Accidental 5-gram
         # collisions over a 2000-token vocab add a measured, bounded
         # excess (~1e-5 of total tokens at 10M) on top of the floor.
+        # SPANSCRUB_BATCHES: the posting exchange + rank-window sort
+        # spill measured past this box's scratch ceiling at 10M
+        # single-pass (ENOSPC, docs/SCALING.md r9) — the span-hash
+        # wave knob divides that peak, values exactly single-pass.
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+            span_scrub_documents,
+        )
+
         docs = spark.read.parquet(docs_path)
         reducers = span_shuffle_partitions(spark, docs)
+        waves = int(os.environ.get("SPANSCRUB_BATCHES", "1"))
         planted_floor = (n_docs // 40) * 120 + (n_docs // 40) * 119
         obs = Observation("spanscrub_rows")
         t0 = time.time()
-        scrubbed = dedup_span_scrub_documents(spark, out).observe(
+        scrubbed = span_scrub_documents(spark, docs, span_batches=waves).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum("n_tokens").alias("total_tokens"),
@@ -294,6 +302,7 @@ def main() -> None:
                 "planted_floor_dropped": planted_floor,
                 "floor_recovered": dropped >= planted_floor,
                 "span_shuffle_partitions": reducers,
+                "span_batches": waves,
             }
         )
         spark.catalog.clearCache()

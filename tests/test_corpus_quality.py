@@ -229,3 +229,45 @@ def test_dsir_weights_exact_integer_arithmetic(spark, tmp_path):
     assert got == {0: (3, w01), 1: (3, w01), 2: (1, w2)}
     # the target-matching docs outweigh the out-of-target doc
     assert w01 > w2
+
+
+def test_span_scrub_waves_equal_single_pass(spark, tmp_path):
+    """The span_batches wave knob (scratch bound, docs/SCALING.md r9
+    ENOSPC finding) must be EXACTLY single-pass: the xxhash64 wave
+    hash partitions SPANS, so each posting list ranks inside one wave
+    and the union of per-wave drop sets is the single-pass drop set.
+    Full 4-column frame equality on a corpus with within-doc repeats,
+    cross-doc boilerplate, and overlapping spans."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
+        span_scrub_documents,
+    )
+
+    boiler = "the quick brown fox jumps"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta {boiler}"),       # self-repeat
+        (1, f"{boiler} one two three four five six"),           # cross-doc
+        (2, "one two three four five six seven eight nine"),    # overlap chain
+        (3, "unique tokens only here nothing repeats at all"),
+        (4, "two three four five six seven"),                    # subspan of 2
+        (5, "tiny"),                                             # <K tokens
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def snap(out):
+        return {
+            r["doc_id"]: (r["n_tokens"], r["n_dropped_tokens"], r["scrubbed_text"])
+            for r in out.collect()
+        }
+
+    single = snap(span_scrub_documents(spark, df))
+    waved = snap(
+        span_scrub_documents(
+            spark, df, span_batches=3, scratch_dir=str(tmp_path / "waves")
+        )
+    )
+    assert waved == single and len(single) == len(rows)
+    # sanity: the knob ran on a corpus where scrubbing actually happens
+    assert any(d > 0 for (_, d, _) in single.values())
