@@ -467,6 +467,106 @@ def source_mix_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TMIX_BUDGET = 200  # total documents drawn across all sources
+
+
+@register(
+    "source_mix_temperature_draw",
+    oracle=f"""
+    WITH m AS (
+        SELECT source, SUM(n_chars) AS chars FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT source,
+               CAST(FLOOR(SQRT(CAST(chars AS DOUBLE))) AS HUGEINT) AS sq
+        FROM m
+    ),
+    t AS (SELECT SUM(sq) AS sqsum FROM s),
+    q AS (
+        SELECT source, CAST({_TMIX_BUDGET} * sq // sqsum AS INT) AS tmix_quota
+        FROM s CROSS JOIN t
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS tmix_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.tmix_rank AS INT) AS tmix_rank,
+           q.tmix_quota
+    FROM ranked r JOIN q USING (source)
+    WHERE r.tmix_rank <= q.tmix_quota
+    """,
+)
+def source_mix_temperature_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture draw (the T5 §3.4.3 / XLM-R mixing
+    rule, Raffel et al. 2020 arXiv:1910.10683; Conneau et al. 2019
+    arXiv:1911.02116): source s contributes documents in proportion to
+    ``mass(s)^(1/T)`` with T = 2 — the published flattening direction
+    that up-samples small sources relative to raw proportional mixing,
+    so one giant crawl shard cannot drown the curated tails. Mass is
+    the source's total character count (data volume, not doc count —
+    the quantity the papers scale by). `source_mix_draw` is the
+    fixed-quota sibling; this one derives quotas from the corpus.
+
+    Determinism contract: with T = 2 the rate is an integer square
+    root — ``sq(s) = FLOOR(SQRT(chars(s)))`` is deterministic
+    cross-engine because IEEE-754 requires sqrt to be correctly
+    rounded (both engines see the identical double for chars < 2⁵³
+    and return the identical root; no libm estimate involved), and
+    ``quota(s) = BUDGET · sq(s) div Σ sq`` is exact integer floor
+    division (Spark ``div`` / DuckDB ``//``, positive operands —
+    truncate ≡ floor). Floor allocation deliberately leaves
+    ≤ #sources − 1 of the {_TMIX_BUDGET}-doc budget unassigned rather
+    than introduce a largest-remainder pass (a second cross-source
+    rank) for ≤0.5% of the draw. Within a source the drawn set is the
+    same RNG-free md5 ranking as `source_mix_draw` (salt ``tmix:``),
+    so retries / AQE re-plans / re-runs draw byte-identical samples.
+
+    Scale shape (100 TB): the mass table is one map-side-combined
+    aggregate bounded at #sources rows; the quota table is that ×
+    a broadcast 1-row Σ sq — both broadcast back onto the corpus scan.
+    The per-source ranking filters on the LITERAL budget first, so
+    Spark's WindowGroupLimit pushdown caps every task's window state
+    at {_TMIX_BUDGET} rows before the exact per-source quota applies —
+    the window never buffers a 10¹²-doc source shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    sq = mass.select(
+        "source",
+        F.expr("CAST(FLOOR(SQRT(CAST(chars AS DOUBLE))) AS DECIMAL(19,0))").alias("sq"),
+    )
+    tot = sq.agg(F.sum("sq").alias("sqsum"))
+    quota = sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"CAST({_TMIX_BUDGET} * sq AS DECIMAL(38,0)) div sqsum")
+        .cast("int")
+        .alias("tmix_quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", "source")
+        .withColumn("tmix_rank", F.row_number().over(w))
+        # literal bound first: quota ≤ BUDGET always, and the literal
+        # lets WindowGroupLimit prune map-side before the quota join
+        .filter(F.col("tmix_rank") <= _TMIX_BUDGET)
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("tmix_rank") <= F.col("tmix_quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("tmix_rank").cast("int").alias("tmix_rank"),
+            "tmix_quota",
+        )
+    )
+
+
 # --- Gopher-style rule filter pack -----------------------------------------
 
 # Thresholds follow the published Gopher/MassiveText heuristics
@@ -886,10 +986,73 @@ _DSIR_BUCKETS = 16**_DSIR_BUCKET_CHARS
 _DSIR_TARGET_SOURCE = "src0"  # the curated target distribution's source tag
 
 
-@register(
-    "dsir_importance_weights",
-    oracle=f"""
-    WITH toks AS (
+def _dsir_doc_integer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR family's shared integer core: per-document
+    ``(doc_id, n_features, s12_sum)`` where ``s12_sum`` is the EXACT
+    integer sum of per-feature scores
+    ``s12 = (ct+1)·(Nr+B)·10¹² div ((cr+1)·(Nt+B))`` — no float
+    anywhere (the determinism contract in `dsir_importance_weights`'
+    docstring). The weight REPORT derives its float mean from this
+    frame; the resample APPLY stays in integer space end-to-end.
+
+    Scale shape: both bucket-count tables are bounded at
+    {_DSIR_BUCKETS} rows (broadcast), the totals are a broadcast 1-row
+    cross join, and the only corpus-scale exchange is the final
+    groupBy(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "source", _toks().alias("toks"))
+    n = F.size("toks")
+    bucket = lambda salt, g: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(salt), g)), 1, _DSIR_BUCKET_CHARS
+    )
+    uni = toked.select("doc_id", "source", F.explode("toks").alias("w")).select(
+        "doc_id", "source", bucket("dsir1:", F.col("w")).alias("fb")
+    )
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = toked.select("doc_id", "source", F.explode(starts).alias("i"), "toks").select(
+        "doc_id",
+        "source",
+        bucket("dsir2:", F.concat_ws(" ", F.slice("toks", F.col("i"), 2))).alias("fb"),
+    )
+    feats = uni.unionByName(bi)
+    tgt = (
+        feats.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rawc = feats.groupBy("fb").agg(F.count(F.lit(1)).alias("cr"))
+    tots = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
+        rawc.agg(F.sum("cr").alias("nr"))
+    )
+    j = (
+        feats.join(F.broadcast(tgt), "fb", "left")
+        .join(F.broadcast(rawc), "fb")
+        .crossJoin(F.broadcast(tots))
+    )
+    # exact 128-bit floor division — see the determinism contract in
+    # dsir_importance_weights' docstring
+    s12 = F.expr(
+        f"CAST(CAST(coalesce(ct, 0) + 1 AS DECIMAL(19,0))"
+        f"     * CAST(nr + {_DSIR_BUCKETS} AS DECIMAL(19,0))"
+        f"     * 1000000000000 AS DECIMAL(38,0))"
+        f" div (CAST(cr + 1 AS DECIMAL(19,0))"
+        f"      * CAST(nt + {_DSIR_BUCKETS} AS DECIMAL(19,0)))"
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum(s12).alias("s12_sum"),
+    )
+
+
+# Shared oracle CTE chain for the DSIR family: hashed features →
+# target/raw bucket counts → broadcast totals → exact-integer
+# per-feature score s12 (the determinism contract lives in
+# `dsir_importance_weights`' docstring). Both the weight REPORT and
+# the resample APPLY replay the identical chain, so a divergence in
+# one would show in both.
+_DSIR_ORACLE_CTES = f"""toks AS (
         SELECT doc_id, source,
                list_filter(string_split(text, ' '), t -> t <> '') AS toks
         FROM documents
@@ -924,7 +1087,13 @@ _DSIR_TARGET_SOURCE = "src0"  # the curated target distribution's source tag
         LEFT JOIN tgt t USING (fb)
         JOIN rawc r USING (fb)
         CROSS JOIN tots
-    )
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_ORACLE_CTES}
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS n_features,
            CAST(SUM(s12) AS DOUBLE) / COUNT(*) / 1000000000000.0 AS dsir_weight
@@ -975,49 +1144,108 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the paper's variance/collision dial: raise
     _DSIR_BUCKET_CHARS to 4 (65 536 buckets) for 100 TB corpora —
     still broadcast-sized."""
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", "source", _toks().alias("toks"))
-    n = F.size("toks")
-    bucket = lambda salt, g: F.substring(  # noqa: E731
-        F.md5(F.concat(F.lit(salt), g)), 1, _DSIR_BUCKET_CHARS
-    )
-    uni = toked.select("doc_id", "source", F.explode("toks").alias("w")).select(
-        "doc_id", "source", bucket("dsir1:", F.col("w")).alias("fb")
-    )
-    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bi = toked.select("doc_id", "source", F.explode(starts).alias("i"), "toks").select(
+    scores = _dsir_doc_integer_scores(spark, sf_dir)
+    # same float-op order as before the r9 _dsir_doc_integer_scores
+    # refactor: exact integer sum → one double cast → two divisions
+    return scores.select(
         "doc_id",
-        "source",
-        bucket("dsir2:", F.concat_ws(" ", F.slice("toks", F.col("i"), 2))).alias("fb"),
-    )
-    feats = uni.unionByName(bi)
-    tgt = (
-        feats.filter(F.col("source") == _DSIR_TARGET_SOURCE)
-        .groupBy("fb")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    rawc = feats.groupBy("fb").agg(F.count(F.lit(1)).alias("cr"))
-    tots = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
-        rawc.agg(F.sum("cr").alias("nr"))
-    )
-    j = (
-        feats.join(F.broadcast(tgt), "fb", "left")
-        .join(F.broadcast(rawc), "fb")
-        .crossJoin(F.broadcast(tots))
-    )
-    # exact 128-bit floor division — see the determinism contract above
-    s12 = F.expr(
-        f"CAST(CAST(coalesce(ct, 0) + 1 AS DECIMAL(19,0))"
-        f"     * CAST(nr + {_DSIR_BUCKETS} AS DECIMAL(19,0))"
-        f"     * 1000000000000 AS DECIMAL(38,0))"
-        f" div (CAST(cr + 1 AS DECIMAL(19,0))"
-        f"      * CAST(nt + {_DSIR_BUCKETS} AS DECIMAL(19,0)))"
-    )
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_features"),
+        F.col("n_features").cast("int").alias("n_features"),
         (
-            F.sum(s12).cast("double") / F.count(F.lit(1)) / F.lit(1000000000000.0)
+            F.col("s12_sum").cast("double") / F.col("n_features") / F.lit(1000000000000.0)
         ).alias("dsir_weight"),
+    )
+
+
+_DSIR_W6_DOWNSCALE = 1_000_000  # s12 mean ×10¹² → ×10⁶ integer weight
+_DSIR_DRAW_STEP = 5_000_000  # one draw per this much weight mass (≈5 docs at ratio 1)
+
+
+@register(
+    "dsir_resample_draw",
+    oracle=f"""
+    WITH {_DSIR_ORACLE_CTES},
+    per_doc AS (
+        SELECT doc_id,
+               SUM(s12) // COUNT(*) // {_DSIR_W6_DOWNSCALE} AS w6
+        FROM j GROUP BY doc_id
+    ),
+    w AS (
+        SELECT d.doc_id, d.source, CAST(p.w6 AS BIGINT) AS dsir_w6
+        FROM per_doc p JOIN documents d USING (doc_id)
+        WHERE p.w6 > 0
+    ),
+    pos AS (
+        SELECT doc_id, source, dsir_w6,
+               COALESCE(SUM(dsir_w6) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('dsirdraw:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prefix
+        FROM w
+    )
+    SELECT doc_id, source, dsir_w6,
+           CAST((prefix + dsir_w6 - 1 + {_DSIR_DRAW_STEP}) // {_DSIR_DRAW_STEP}
+                - (prefix - 1 + {_DSIR_DRAW_STEP}) // {_DSIR_DRAW_STEP} AS INT)
+               AS n_draws
+    FROM pos
+    WHERE (prefix + dsir_w6 - 1 + {_DSIR_DRAW_STEP}) // {_DSIR_DRAW_STEP}
+          - (prefix - 1 + {_DSIR_DRAW_STEP}) // {_DSIR_DRAW_STEP} > 0
+    """,
+)
+def dsir_resample_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's SELECTION step applied (Xie et al. 2023, arXiv:2302.03169
+    §3.2: resample examples with probability proportional to the
+    importance weight) — the APPLY path to `dsir_importance_weights`'
+    REPORT, the same pairing as `dedup_repeated_spans` →
+    `dedup_span_scrub_documents`. The paper samples with a Gumbel
+    top-k; this engine re-expresses it as weight-proportional
+    SYSTEMATIC resampling (the particle-filter standard): documents
+    are laid end-to-end per source shard in a deterministic md5
+    pseudo-random order, each spanning its integer weight in mass, and
+    a draw lands every {_DSIR_DRAW_STEP} units of mass — selection
+    probability proportional to weight, heavy documents drawn with
+    multiplicity (the paper's with-replacement semantics), zero RNG
+    anywhere, so task retries / AQE re-plans / re-runs draw
+    byte-identical samples.
+
+    Determinism contract: the per-doc weight stays in INTEGER space
+    end-to-end — ``w6 = s12_sum div n_features div
+    {_DSIR_W6_DOWNSCALE}`` (≈10⁶ × the mean probability ratio; exact
+    floor division off `_dsir_doc_integer_scores`' exact integer sum,
+    never the REPORT's float weight), and the draw count reuses
+    `weighted_systematic_draw`'s shifted-endpoint formula so every
+    division operand is positive (DuckDB ``//`` floors, Spark ``div``
+    truncates — they only agree above zero). Docs whose mean ratio
+    falls below 10⁻⁶ floor to w6 = 0 and are excluded ahead of the
+    window (they could never be drawn; the filter keeps the prefix sum
+    free of dead rows). Overflow bound: a shard's running prefix is
+    Σ w6 ≈ 10⁶ · mean_ratio · docs_per_shard — inside BIGINT until
+    ~9·10¹² docs per source shard.
+
+    Scale shape (100 TB): inherits the DSIR core's broadcast-only
+    scoring (bounded bucket tables, 1-row totals; one groupBy(doc_id)
+    exchange), then one window shuffle per source shard — shards
+    sample in parallel, no global sort, no driver materialization."""
+    scores = _dsir_doc_integer_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w6 = F.expr(f"s12_sum div n_features div {_DSIR_W6_DOWNSCALE}")
+    weighted = (
+        scores.select("doc_id", w6.alias("dsir_w6"))
+        .filter(F.col("dsir_w6") > 0)
+        .join(docs, "doc_id")
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("dsirdraw:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    pos = weighted.withColumn(
+        "prefix", F.coalesce(F.sum("dsir_w6").over(win), F.lit(0))
+    )
+    n_draws = F.expr(
+        f"(prefix + dsir_w6 - 1 + {_DSIR_DRAW_STEP}) div {_DSIR_DRAW_STEP}"
+        f" - (prefix - 1 + {_DSIR_DRAW_STEP}) div {_DSIR_DRAW_STEP}"
+    )
+    return (
+        pos.select("doc_id", "source", "dsir_w6", n_draws.cast("int").alias("n_draws"))
+        .filter(F.col("n_draws") > 0)
     )

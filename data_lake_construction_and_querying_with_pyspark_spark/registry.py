@@ -126,8 +126,8 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "train_val_test_split",
     "unpivot_lineitem_measures",
     "weighted_systematic_draw",
-    # -- r7-aged re-verification picks (15 of 50, complexity-first;
-    # the 35 left out keep green r7 rows and rotate r10) --
+    # -- r7-aged re-verification picks (13 of 50, complexity-first;
+    # the 37 left out keep green r7 rows and rotate r10) --
     "acid_change_feed",
     "acid_delete_data_skipping",
     "acid_orders_lifecycle",
@@ -137,19 +137,23 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_canonical_corpus_embeddings",
     "dedup_minhash_near_dup",
     "hard_negative_mining",
-    "knn_brute_force",
-    "knn_graph_top1",
     "knn_graph_topk",
     "knn_ivf_pq",
     "knn_pq_adc",
     "semantic_dedup_sampled",
     # -- registered this round: never driver-checked, contract
-    # requires in-window now (they displace the two simplest of the
-    # originally-planned 17 r7-aged picks, bpe_encode_documents and
-    # rerank_bm25_candidates, which keep green r7 rows — exactly 2
-    # rounds old at r9, inside the contract, r10 base = 35) --
+    # requires in-window now. The first two displaced the two simplest
+    # of the originally-planned 17 r7-aged picks (bpe_encode_documents,
+    # rerank_bm25_candidates); the second pair displaced the next two
+    # simplest (knn_brute_force, knn_graph_top1 — the windowed-top-3
+    # variant knn_graph_topk stays in and exercises the same bucket
+    # construction). All four displaced entries keep green r7 rows —
+    # exactly 2 rounds old at r9, inside the contract — and anchor
+    # r10's base of 37. --
     "lm_perplexity_buckets",
     "dsir_importance_weights",
+    "source_mix_temperature_draw",
+    "dsir_resample_draw",
 )
 
 

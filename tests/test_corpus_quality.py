@@ -271,3 +271,84 @@ def test_span_scrub_waves_equal_single_pass(spark, tmp_path):
     assert waved == single and len(single) == len(rows)
     # sanity: the knob ran on a corpus where scrubbing actually happens
     assert any(d > 0 for (_, d, _) in single.values())
+
+
+def test_temperature_draw_upsamples_small_sources(spark, tmp_path):
+    """T=2 temperature mixing must allocate by sqrt(char mass): a
+    source holding 0.5% of the characters gets ~4.6% of the budget —
+    strictly more than its proportional share (which floors to 0 here)
+    — while within-source draws stay contiguous md5-rank prefixes."""
+    import math
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+        _TMIX_BUDGET,
+        source_mix_temperature_draw,
+    )
+
+    rows = [(i, "x" * 10, "en", "srcS", 10) for i in range(30)] + [
+        (100 + i, "y" * 2000, "en", "srcB", 2000) for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    sq = {"srcS": math.isqrt(300), "srcB": math.isqrt(60000)}
+    sqsum = sum(sq.values())
+    want_quota = {s: _TMIX_BUDGET * v // sqsum for s, v in sq.items()}
+    assert want_quota["srcS"] > _TMIX_BUDGET * 300 // 60300  # flattening beats proportional
+    out = source_mix_temperature_draw(spark, str(tmp_path)).collect()
+    got_quota = {r["source"]: r["tmix_quota"] for r in out}
+    assert got_quota == want_quota
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["tmix_rank"])
+    # drawn count = min(quota, available); ranks are a contiguous 1..k prefix
+    for s, ranks in by_src.items():
+        k = min(want_quota[s], 30)
+        assert sorted(ranks) == list(range(1, k + 1))
+
+
+def test_dsir_resample_replays_the_systematic_formula(spark):
+    """Full replay pin: recompute the draw in pure Python — integer w6
+    off `_dsir_doc_integer_scores`' exact sums, the md5 shard order,
+    the shifted-endpoint draw-count formula — and require the operator
+    to emit exactly the same (doc_id → n_draws) map, zero-draw and
+    zero-weight docs excluded. Pins window order, prefix arithmetic,
+    and the w6 downscale in one shot, plus conservation (Σ draws per
+    shard == ceil(shard mass / STEP))."""
+    import hashlib
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+        _DSIR_DRAW_STEP,
+        _DSIR_W6_DOWNSCALE,
+        _dsir_doc_integer_scores,
+        dsir_resample_draw,
+    )
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "source").collect()
+    }
+    shards: dict = {}
+    for r in _dsir_doc_integer_scores(spark, SF_SMOKE).collect():
+        w6 = r["s12_sum"] // r["n_features"] // _DSIR_W6_DOWNSCALE
+        if w6 > 0:
+            shards.setdefault(src[r["doc_id"]], []).append((r["doc_id"], w6))
+    want: dict = {}
+    mass: dict = {}
+    for s, docs in shards.items():
+        docs.sort(key=lambda t: (hashlib.md5(f"dsirdraw:{t[0]}".encode()).hexdigest(), t[0]))
+        prefix = 0
+        for doc_id, w6 in docs:
+            n = (prefix + w6 - 1 + _DSIR_DRAW_STEP) // _DSIR_DRAW_STEP - (
+                prefix - 1 + _DSIR_DRAW_STEP
+            ) // _DSIR_DRAW_STEP
+            if n > 0:
+                want[doc_id] = n
+            prefix += w6
+        mass[s] = prefix
+    got = {r["doc_id"]: r["n_draws"] for r in dsir_resample_draw(spark, SF_SMOKE).collect()}
+    assert got == want
+    per_shard = {s: sum(want.get(d, 0) for d, _ in docs) for s, docs in shards.items()}
+    assert per_shard == {s: -(-m // _DSIR_DRAW_STEP) for s, m in mass.items() if m > 0}

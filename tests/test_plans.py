@@ -166,6 +166,8 @@ _NESTED_LOOP_OK = {
     "lm_stupid_backoff_scores",  # scoring stream × broadcast 1-row train-token total
     "lm_perplexity_buckets",  # scored stream × broadcast 1-row boundary table
     "dsir_importance_weights",  # feature stream × broadcast 1-row (nt, nr) totals
+    "dsir_resample_draw",  # inherits the DSIR core's 1-row totals broadcast
+    "source_mix_temperature_draw",  # #sources-row table × broadcast 1-row Σ sq
 }
 
 _SLOW = {
@@ -471,4 +473,27 @@ def test_lm_scores_partial_counts_and_scalar_broadcast(spark, queries):
     plan = _plan(queries["lm_stupid_backoff_scores"](spark, SF_SMOKE))
     assert "partial_count" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_temperature_draw_group_limit_and_broadcast_quota(spark, queries):
+    """source_mix_temperature_draw's 100 TB contract: the literal
+    budget filter pushes into the per-source window as a
+    WindowGroupLimit (partial + final — every map task caps its window
+    state at the budget before the source exchange), the quota table
+    joins by broadcast, and nothing cartesian-joins except the 1-row
+    Σsq cross join."""
+    plan = _plan(queries["source_mix_temperature_draw"](spark, SF_SMOKE))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_resample_shard_window_and_integer_weight(spark, queries):
+    """dsir_resample_draw must window over source-shard partitions
+    (parallel shards, no global sort: the only SinglePartition
+    exchanges are the DSIR core's two 1-row totals, nt and nr)."""
+    plan = _plan(queries["dsir_resample_draw"](spark, SF_SMOKE))
+    assert "hashpartitioning(source" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
     assert "CartesianProduct" not in plan, plan
