@@ -202,7 +202,16 @@ def shortlist_assign_vectorized(
     matrix, which every wave carries), and tests pin sharded == whole
     exactly. ``scratch_dir`` must be cluster-visible off local-mode
     and outlive actions on the returned lazy frame (wave-knob caveats,
-    ``dedup_vectorized.canonical_corpus_embeddings_vectorized``)."""
+    ``dedup_vectorized.canonical_corpus_embeddings_vectorized``).
+
+    Sizing rule (measured, 40M same-session A/B in docs/SCALING.md):
+    every wave is a full corpus pass through the Arrow decode — the
+    family's dominant cost — so s shards pay ≈ s× decode to divide
+    index memory by s (sharded-4 measured 2.6× the one-piece wall at
+    40M, values exactly equal). Leave ``index_shards=1`` whenever the
+    one-piece index broadcasts comfortably (k ≲ 2M, ≲ 500 MB per
+    worker copy); shard only on the 100M→1B trajectory where the
+    broadcast itself is the ceiling."""
     if index_shards > 1:
         return _shortlist_assign_sharded(
             spark, base, centroids, m, nprobe, index_shards, scratch_dir
