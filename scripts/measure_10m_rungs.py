@@ -307,6 +307,45 @@ def main() -> None:
         )
         spark.catalog.clearCache()
 
+    if "dsir" in steps:
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+            dsir_resample_draw,
+        )
+
+        # The DSIR family's scale rung (registered r9): the resample
+        # APPLY embeds the full importance pipeline — 2 features/token
+        # hashed into 4096 buckets (bounded count tables → broadcast),
+        # one groupBy(doc_id) over ~2.4e8 feature rows per 1M docs,
+        # one per-source window. Needs the documents table (run the
+        # "docs" step first). No planted ground truth: the invariants
+        # (exact integer weights, shard-order replay, conservation)
+        # are pinned at test scale; the rung measures the linear
+        # pipeline's wall and that the draw multiplicity behaves.
+        docs_df = spark.read.parquet(docs_path)
+        obs = Observation("dsir_rows")
+        t0 = time.time()
+        drawn = dsir_resample_draw(spark, out).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_draws").alias("total_draws"),
+            F.max("n_draws").alias("max_draws"),
+        )
+        run(drawn)
+        dt = time.time() - t0
+        emit(
+            {
+                "op": "dsir_resample_draw",
+                "n_docs": int(docs_df.count()),
+                "seconds": round(dt, 2),
+                "rows": int(obs.get["n"]),
+                "total_draws": int(obs.get["total_draws"]),
+                "max_draws": int(obs.get["max_draws"]),
+            }
+        )
+        spark.catalog.clearCache()
+
     if "bandpoolvec" in steps:
         from pyspark.sql import Observation
 
