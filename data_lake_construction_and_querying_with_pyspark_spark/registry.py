@@ -74,86 +74,82 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # verification matters most. Everything outside the window stays pinned
 # locally by tests/test_queries_oracle.py, which checks ALL entries.
 #
-# Round-9 rotation (VERDICT r8 directive #1): ALL 33 oracle-bearing
-# entries whose latest driver row is r6 (the contract edge this round
-# — the TPC-H analytics block, the text/profile pack, and the asof/
-# sampling pair the r8 rotation displaced), then 17 complexity-
-# prioritized picks from the 50 r7-aged entries (the ACID lifecycle
-# trio, the canonical-corpus/minhash dedup ladder, the full kNN/PQ
-# ANN block, sampled SemDeDup, decontamination, hard-negative mining,
-# BPE learn/encode, rerank). The 33 r7-aged entries left out keep
-# green r7 rows — exactly 2 rounds old at end of r9, inside the
-# contract — and form r10's base (33 + 17 of the 50 r8-aged rows;
-# 133 oracles / 50 slots needs every entry re-checked at least every
-# 3rd round, and tests/test_registry_window.py now asserts the NEXT
-# round's must-set also fits, not just this one's).
+# Round-10 rotation (VERDICT r9 directive #1, rotated as the FIRST
+# commit of the round per What's-wrong #4): ALL 37 oracle-bearing
+# entries whose latest driver row is r7 (the contract edge — the
+# scalar packs, set ops, windows, events analytics, knn_brute_force/
+# top1, bpe_encode, rerank, format roundtrips), then 13 picks. Four
+# of the picks are the operators r10 MODIFIES (VERDICT r9 directives
+# #2/#3: weighted_systematic_draw + dsir_resample_draw are r9-green
+# but get the two-phase bucket-offset de-serialization this round;
+# sequence_packing + source_mix_draw are r8-aged AND modified), so
+# the driver re-verifies the changed code on first exposure. The
+# remaining 9 are complexity-first r8-aged picks (the span/cluster/
+# cosine dedup ladder, SemDeDup fold, pagerank, PCA, stupid-backoff,
+# WITH RECURSIVE). The 39 r8-aged entries left out keep green r8
+# rows — exactly 2 rounds old at end of r10, inside the contract —
+# and form r11's must-set (39 ≤ 50: feasible, asserted one round
+# ahead by tests/test_registry_window.py).
 # tests/test_registry_window.py derives this plan from the
 # committed CORRECTNESS_r*.json artifacts and fails CI if mis-planned.
 # Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- r6-aged, contract edge this round: all 33 --
-    "asof_latest_order_per_event",
-    "corr_quantity_price_exact",
-    "customer_order_distribution_q13",
-    "deterministic_shuffle",
-    "disjunctive_predicates_q19",
-    "doc_repetition_signals",
-    "dominant_supplier_q20",
-    "event_transition_counts",
-    "events_click_purchase_pairs",
-    "events_cusum_drift",
-    "events_hourly_rollup",
-    "flagship_between",
-    "forecast_revenue_q6",
-    "histogram_order_totalprice",
-    "join_fact_fact_revenue",
-    "large_volume_customers_q18",
-    "late_shipper_q21",
-    "order_priority_checking_q4",
-    "parts_supplier_counts_q16",
-    "pii_anonymize_customers",
-    "promo_revenue_share_q14",
-    "returned_item_reporting_q10",
-    "sales_opportunity_q22",
-    "shipping_latency_priority_q12",
-    "small_quantity_revenue_q17",
-    "table_profile_events",
-    "text_fingerprints",
-    "text_quality_scores",
-    "text_token_stats",
-    "top_supplier_q15",
-    "train_val_test_split",
-    "unpivot_lineitem_measures",
+    # -- r7-aged, contract edge this round: all 37 --
+    "array_ops_embeddings",
+    "bpe_encode_documents",
+    "bpe_token_counts",
+    "case_when_price_buckets",
+    "cheapest_supplier_per_part",
+    "cohort_retention",
+    "date_functions_pack",
+    "distinct_flag_status",
+    "edit_distance_similar_parts",
+    "events_gap_fill_resample",
+    "events_sliding_windows",
+    "events_user_sessions",
+    "funnel_conversion",
+    "important_parts_q11",
+    "in_subquery_urgent_customers",
+    "jsonl_roundtrip_documents",
+    "knn_brute_force",
+    "knn_graph_top1",
+    "lateral_explode_top_tokens",
+    "orc_roundtrip_customer",
+    "percentiles_by_segment",
+    "pricing_summary",
+    "product_profit_q9",
+    "range_join_quantity_band",
+    "rerank_bm25_candidates",
+    "scalar_subquery_above_avg",
+    "set_except_priorities",
+    "set_intersect_priorities",
+    "set_union_priorities",
+    "string_functions_pack",
+    "text_chunk_windows",
+    "text_language_id",
+    "two_nation_trade_q7",
+    "union_by_name_projections",
+    "window_order_gap_days",
+    "window_rank_pack",
+    "window_trailing_30day_spend",
+    # -- operators MODIFIED this round (two-phase segmented windows /
+    # WindowGroupLimit cap): driver must see the new code --
     "weighted_systematic_draw",
-    # -- r7-aged re-verification picks (13 of 50, complexity-first;
-    # the 37 left out keep green r7 rows and rotate r10) --
-    "acid_change_feed",
-    "acid_delete_data_skipping",
-    "acid_orders_lifecycle",
-    "bpe_learn_merges",
-    "decontamination_overlap",
-    "dedup_canonical_corpus",
-    "dedup_canonical_corpus_embeddings",
-    "dedup_minhash_near_dup",
-    "hard_negative_mining",
-    "knn_graph_topk",
-    "knn_ivf_pq",
-    "knn_pq_adc",
-    "semantic_dedup_sampled",
-    # -- registered this round: never driver-checked, contract
-    # requires in-window now. The first two displaced the two simplest
-    # of the originally-planned 17 r7-aged picks (bpe_encode_documents,
-    # rerank_bm25_candidates); the second pair displaced the next two
-    # simplest (knn_brute_force, knn_graph_top1 — the windowed-top-3
-    # variant knn_graph_topk stays in and exercises the same bucket
-    # construction). All four displaced entries keep green r7 rows —
-    # exactly 2 rounds old at r9, inside the contract — and anchor
-    # r10's base of 37. --
-    "lm_perplexity_buckets",
-    "dsir_importance_weights",
-    "source_mix_temperature_draw",
     "dsir_resample_draw",
+    "sequence_packing",
+    "source_mix_draw",
+    # -- r8-aged re-verification picks (9 of 50, complexity-first;
+    # the 39 left out keep green r8 rows and form r11's must-set) --
+    "dedup_span_scrub_documents",
+    "dedup_repeated_spans",
+    "dedup_cluster_assignment",
+    "dedup_embedding_cosine_pairs",
+    "semantic_dedup_embeddings",
+    "pagerank_trade_network",
+    "pca_top_component",
+    "lm_stupid_backoff_scores",
+    "recursive_transition_paths",
 )
 
 
