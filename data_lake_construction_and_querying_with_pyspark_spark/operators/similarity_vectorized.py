@@ -137,6 +137,33 @@ def hardest_mate_kernel(ids, V, tau):
     return ids[keep], best_id[keep], best_c[keep]
 
 
+def knn_graph_planes(n_docs: int, base_docs: int = 20_000_000, base_planes: int = 16) -> int:
+    """The production geometry rule for the kNN-graph family: +1
+    hyperplane bit per corpus doubling above the measured 20M/16-plane
+    anchor (the log-n rule the span/IVF families already follow).
+
+    Why: at FIXED geometry the expected bucket population grows
+    linearly with the corpus, so the per-bucket Gram term (∝
+    population²·d summed over buckets) grows ~4× per doubling — the
+    measured 20M→40M wall ratio was 3.14× for 2× corpus at 8×16
+    (docs/SCALING.md, r9 rung ladder) because that quadratic term came
+    to dominate the otherwise-linear blend (scan + skinny local-top-k
+    exchange). One extra plane bit halves expected bucket population,
+    holding per-bucket work ~constant per row and returning the blend
+    to ~linear. Measured at the 40M octave (r10, same corpus/session
+    A/B vs the fixed-geometry row): 8×17 brings the wall back near the
+    ~2×/doubling trend at equal planted recovery — docs/SCALING.md
+    carries the row. Recall stays sharp for near-duplicate-grade
+    neighbors (cosine → 1 collides in every bit w.p. → 1, ×8 tables);
+    for mid-cosine neighbors extra bits do trade recall — size by the
+    target similarity, this rule targets the dedup/near-dup regime."""
+    import math
+
+    if n_docs <= base_docs:
+        return base_planes
+    return base_planes + math.ceil(math.log2(n_docs / base_docs))
+
+
 def knn_graph_edges_vectorized(
     spark: SparkSession,
     emb: DataFrame,
@@ -175,7 +202,14 @@ def knn_graph_edges_vectorized(
     downstream max-dedup + window produce identical edges.
     ``scratch_dir`` must be cluster-visible off local-mode and must
     outlive every action on the returned (lazy) frame — full caveats
-    on ``canonical_corpus_embeddings_vectorized``."""
+    on ``canonical_corpus_embeddings_vectorized``.
+
+    Geometry sizing: the 8×16 default is the ≤20M-doc setting. Past
+    that, pass ``n_planes=knn_graph_planes(n_docs)`` — +1 plane bit
+    per corpus doubling — or the per-bucket Gram term grows ~4× per
+    doubling and dominates the wall (measured: 3.14× at the 40M
+    octave at fixed 8×16; the sizing-rule rationale and the measured
+    A/B live on ``knn_graph_planes``)."""
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
 
     out_schema = StructType(

@@ -25,7 +25,9 @@ Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
        (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
         steps is a comma list from
         {pca,volume,semantic,semanticvec,semanticvecsharded,bandpoolvec,
-         ivfneg,ivfnegvec,canonvec,knngraphvec,spanscrub,docs};
+         ivfneg,ivfnegvec,canonvec,knngraphvec,spanscrub,dsir,docs};
+        spanscrub and dsir read the documents table — run the "docs"
+        step first (they fail fast with that message otherwise);
         semanticvec — r7's vectorized scoring twin
         (operators/semantic_vectorized.py), the measured escape from the
         interpreted-fold wall — is NOT in the default step set: run it
@@ -88,6 +90,15 @@ def main() -> None:
 
     def run(df) -> None:
         df.write.mode("overwrite").format("noop").save()
+
+    def need_docs(step: str) -> None:
+        """Docs-reading steps fail fast with the fix instead of a raw
+        AnalysisException deep inside the step (ADVICE r9 #1)."""
+        if not os.path.exists(docs_path):
+            sys.exit(
+                f"step '{step}' reads {docs_path}, which does not exist — "
+                f"run the 'docs' step first (steps=docs,{step})"
+            )
 
     emb = spark.read.parquet(emb_path)
 
@@ -253,6 +264,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     if "spanscrub" in steps:
+        need_docs("spanscrub")
         from pyspark.sql import Observation
 
         from data_lake_construction_and_querying_with_pyspark_spark.operators.dedup import (
@@ -308,6 +320,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     if "dsir" in steps:
+        need_docs("dsir")
         from pyspark.sql import Observation
 
         from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
@@ -554,9 +567,15 @@ def main() -> None:
         obs = Observation("knngraphvec_rows")
         # ≥20M the band exchange needs scratch-bounding waves on this
         # box (same ceiling the canonvec rung measured).
+        # KNNGRAPHVEC_PLANES: default keeps the ladder's fixed 8×16 so
+        # rows stay comparable; pass knn_graph_planes(n_docs) (the
+        # log-n rule) to measure the production geometry (r10 rung).
         kg_waves = int(os.environ.get("KNNGRAPHVEC_TABLE_BATCHES", "1"))
+        kg_planes = int(os.environ.get("KNNGRAPHVEC_PLANES", "16"))
         t0 = time.time()
-        edges = knn_graph_edges_vectorized(spark, emb, k=3, table_batches=kg_waves).observe(
+        edges = knn_graph_edges_vectorized(
+            spark, emb, k=3, n_planes=kg_planes, table_batches=kg_waves
+        ).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.count(
@@ -574,6 +593,7 @@ def main() -> None:
                 "planted_rank1_recovered": int(obs.get["hits"]),
                 "planted_members": n_docs // 10,
                 "table_batches": kg_waves,
+                "n_planes": kg_planes,
             }
         )
         spark.catalog.clearCache()

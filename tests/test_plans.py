@@ -233,12 +233,21 @@ def test_decontamination_probe_broadcasts(spark, queries):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_sequence_packing_single_window_pass(spark, queries):
-    """Packing is one per-source window pass (prefix sum) plus a
-    generate — exactly one Window node, and the explode must not
-    re-sort."""
+def test_sequence_packing_segmented_prefix(spark, queries):
+    """Packing's prefix sum is the two-phase segmented shape (VERDICT
+    r9 directive #2): the corpus-scale window partitions on
+    (source, segment) — never source alone, which would sort a whole
+    source in ONE task — the bounded segment-offset frame joins back
+    by broadcast, and only the offsets-cumulation window (over the
+    n/65536-row counts frame) partitions by bare source. Exactly two
+    Window nodes: offsets cumulate + in-segment prefix."""
+    import re
+
     plan = _plan(queries["sequence_packing"](spark, SF_SMOKE))
-    assert plan.count("Window") == 1, plan
+    assert plan.count("Window [") == 2, plan
+    assert re.search(r"hashpartitioning\(source#\d+, _seg#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_semantic_dedup_pair_join_is_equi(spark, queries):
@@ -270,13 +279,19 @@ def test_outlier_zscore_stats_broadcast_no_window(spark, queries):
     assert "Window" not in plan, plan
 
 
-def test_weighted_draw_single_shard_window(spark, queries):
-    """The size-weighted draw is one per-source prefix-sum window —
-    exactly one Window node, partitioned by source (never a global
-    single-partition sort of the corpus)."""
+def test_weighted_draw_segmented_prefix(spark, queries):
+    """The size-weighted draw's prefix sum is two-phase segmented
+    (VERDICT r9 directive #2): the corpus-scale window partitions on
+    (source, md5-byte segment) — 256 parallel tasks per source, never
+    one — the 256-row-per-source offsets frame joins by broadcast, no
+    single-partition sort of the corpus anywhere."""
+    import re
+
     plan = _plan(queries["weighted_systematic_draw"](spark, SF_SMOKE))
-    assert plan.count("Window [") == 1, plan
-    assert "hashpartitioning(source" in plan, plan
+    assert plan.count("Window [") == 2, plan
+    assert re.search(r"hashpartitioning\(source#\d+, _seg#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_q4_exists_plans_as_semi_join(spark, queries):
@@ -490,10 +505,34 @@ def test_temperature_draw_group_limit_and_broadcast_quota(spark, queries):
 
 
 def test_dsir_resample_shard_window_and_integer_weight(spark, queries):
-    """dsir_resample_draw must window over source-shard partitions
-    (parallel shards, no global sort: the only SinglePartition
-    exchanges are the DSIR core's two 1-row totals, nt and nr)."""
-    plan = _plan(queries["dsir_resample_draw"](spark, SF_SMOKE))
-    assert "hashpartitioning(source" in plan, plan
-    assert plan.count("Exchange SinglePartition") <= 2, plan
+    """dsir_resample_draw's prefix sum is two-phase segmented (VERDICT
+    r9 directive #2): the corpus-scale window partitions on (source,
+    md5-byte segment) — 256 parallel tasks per source, never one task
+    per source. The segment-counts branch and the window branch both
+    reference the scored frame, so the DSIR core's two 1-row totals
+    appear TWICE in the static plan (4 SinglePartition exchanges, never
+    more) — and at runtime AQE's exchange reuse computes the expensive
+    scoring subtree once: after execution the plan must carry
+    ReusedExchange nodes covering the duplicated branch."""
+    import re
+
+    df = queries["dsir_resample_draw"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert re.search(r"hashpartitioning\(source#\d+, _seg#\d+", plan), plan
+    assert plan.count("Exchange SinglePartition") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    df.collect()
+    executed = _plan(df)
+    assert executed.count("ReusedExchange") >= 4, executed
+
+
+def test_source_mix_draw_window_group_limit(spark, queries):
+    """source_mix_draw's 100 TB contract (VERDICT r9 What's-wrong #2):
+    the literal max-quota filter must push into the per-source window
+    as a WindowGroupLimit (partial + final — every map task caps its
+    window state at 28 rows before the source exchange), exactly like
+    its sibling source_mix_temperature_draw; the non-foldable CASE
+    quota applies after."""
+    plan = _plan(queries["source_mix_draw"](spark, SF_SMOKE))
+    assert plan.count("WindowGroupLimit") >= 2, plan
     assert "CartesianProduct" not in plan, plan

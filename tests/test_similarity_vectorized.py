@@ -186,3 +186,22 @@ def test_knn_graph_table_batched_is_value_identical(spark, tmp_path):
     }
     assert single == batched
     corpus.unpersist()
+
+
+def test_knn_graph_planes_sizing_rule():
+    """The log-n geometry rule (VERDICT r9 directive #4): fixed 16
+    planes up to the measured 20M anchor, then +1 hyperplane bit per
+    corpus doubling — the lever that holds expected bucket population
+    (and hence the per-bucket Gram term) ~constant per row."""
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity_vectorized import (
+        knn_graph_planes,
+    )
+
+    assert knn_graph_planes(1_000_000) == 16
+    assert knn_graph_planes(20_000_000) == 16
+    assert knn_graph_planes(40_000_000) == 17
+    assert knn_graph_planes(80_000_000) == 18
+    assert knn_graph_planes(160_000_000) == 19
+    assert knn_graph_planes(1_280_000_000) == 22
+    # non-power-of-two corpora round UP (smaller buckets, never larger)
+    assert knn_graph_planes(50_000_000) == 18
