@@ -572,9 +572,15 @@ def main() -> None:
         # log-n rule) to measure the production geometry (r10 rung).
         kg_waves = int(os.environ.get("KNNGRAPHVEC_TABLE_BATCHES", "1"))
         kg_planes = int(os.environ.get("KNNGRAPHVEC_PLANES", "16"))
+        # Own the wave scratch and delete it after the action: mkdtemp
+        # default leaks ~14 GB per 40M run, and two stale runs' scratch
+        # caused a measured ENOSPC on the third (r10). The operator
+        # cannot clean it (the returned frame is lazy); the rung can.
+        kg_scratch = f"{out}/_knngraphvec_scratch" if kg_waves > 1 else None
         t0 = time.time()
         edges = knn_graph_edges_vectorized(
-            spark, emb, k=3, n_planes=kg_planes, table_batches=kg_waves
+            spark, emb, k=3, n_planes=kg_planes, table_batches=kg_waves,
+            scratch_dir=kg_scratch,
         ).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
@@ -597,6 +603,10 @@ def main() -> None:
             }
         )
         spark.catalog.clearCache()
+        if kg_scratch:
+            import shutil
+
+            shutil.rmtree(kg_scratch, ignore_errors=True)
 
     emit({"op": "done", "n_docs": n_docs})
 
