@@ -137,26 +137,29 @@ def hardest_mate_kernel(ids, V, tau):
     return ids[keep], best_id[keep], best_c[keep]
 
 
-def knn_graph_planes(n_docs: int, base_docs: int = 20_000_000, base_planes: int = 16) -> int:
-    """The production geometry rule for the kNN-graph family: +1
-    hyperplane bit per corpus doubling above the measured 20M/16-plane
-    anchor (the log-n rule the span/IVF families already follow).
+def knn_graph_planes(n_docs: int, base_docs: int = 40_000_000, base_planes: int = 16) -> int:
+    """Geometry sizing for the kNN-graph family: 16 planes through the
+    highest MEASURED scale (40M), then +1 hyperplane bit per corpus
+    doubling — a hypothesis for ≥80M, not a validated setting.
 
-    Why: at FIXED geometry the expected bucket population grows
-    linearly with the corpus, so the per-bucket Gram term (∝
-    population²·d summed over buckets) grows ~4× per doubling — the
-    measured 20M→40M wall ratio was 3.14× for 2× corpus at 8×16
-    (docs/SCALING.md, r9 rung ladder) because that quadratic term came
-    to dominate the otherwise-linear blend (scan + skinny local-top-k
-    exchange). One extra plane bit halves expected bucket population,
-    holding per-bucket work ~constant per row and returning the blend
-    to ~linear. Measured at the 40M octave (r10, same corpus/session
-    A/B vs the fixed-geometry row): 8×17 brings the wall back near the
-    ~2×/doubling trend at equal planted recovery — docs/SCALING.md
-    carries the row. Recall stays sharp for near-duplicate-grade
+    The r10 same-session A/B at 40M (same corpus, back-to-back, both
+    waves=4, both 100% planted rank-1 recovery — docs/SCALING.md)
+    REFUTED the r9 conjecture that the anchor belongs at 20M: 8×17
+    read 3 150.2 s vs the 8×16 control's 2 368.0 s — 1.33× SLOWER.
+    Mechanism: +1 bit doubles the POPULATED GROUP count (8·2¹⁷ ≈ 1M
+    applyInPandas groups), and the per-group fixed cost (Arrow slice,
+    pandas frame, kernel invocation — ~1.5 ms/group implied by the
+    pair) outweighs the quartered per-bucket Gram at ~610 rows/bucket;
+    the quadratic Gram term is NOT yet dominant at 40M (the r9 3.14×
+    ratio that suggested it carried cross-session box state: today's
+    same-code 40M control reads 2 368 s vs r9's 2 795.7 s). The
+    crossover where +1 bit pays — per-bucket Gram gain > per-group
+    overhead doubling — lands at larger populations; this anchor puts
+    the first +1 bit at 80M (~1 220 rows/bucket at 16 planes), to be
+    A/B-measured before trusting, same discipline as this round.
+    Recall note: extra bits stay sharp for near-duplicate-grade
     neighbors (cosine → 1 collides in every bit w.p. → 1, ×8 tables);
-    for mid-cosine neighbors extra bits do trade recall — size by the
-    target similarity, this rule targets the dedup/near-dup regime."""
+    mid-cosine regimes trade recall — size by target similarity."""
     import math
 
     if n_docs <= base_docs:
@@ -204,12 +207,13 @@ def knn_graph_edges_vectorized(
     outlive every action on the returned (lazy) frame — full caveats
     on ``canonical_corpus_embeddings_vectorized``.
 
-    Geometry sizing: the 8×16 default is the ≤20M-doc setting. Past
-    that, pass ``n_planes=knn_graph_planes(n_docs)`` — +1 plane bit
-    per corpus doubling — or the per-bucket Gram term grows ~4× per
-    doubling and dominates the wall (measured: 3.14× at the 40M
-    octave at fixed 8×16; the sizing-rule rationale and the measured
-    A/B live on ``knn_graph_planes``)."""
+    Geometry sizing: 8×16 is the measured-best setting through 40M —
+    the r10 same-session A/B read +1 plane bit as 1.33× SLOWER at 40M
+    (per-group overhead beats the halved Gram term; full adjudication
+    on ``knn_graph_planes``). Past 40M pass
+    ``n_planes=knn_graph_planes(n_docs)``; its +1-bit-per-doubling
+    tail is the hypothesis to A/B at the 80M octave, not a validated
+    default."""
     base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
 
     out_schema = StructType(

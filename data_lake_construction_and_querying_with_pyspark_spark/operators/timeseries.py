@@ -160,29 +160,67 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed prefix sum, so the running sums are exact and engine
     segment-tree vs incremental window accumulation cannot diverge;
     the threshold compares decimals, and only the reported score casts
-    to double. One shuffle on event_type; both windows share the same
-    sort."""
+    to double.
+
+    Scale shape: the inclusive (sum, min) scans are two-phase
+    segmented — the corpus_quality `_segmented_prefix` trick extended
+    from exclusive sums to the inclusive sum + running-min pair a
+    CUSUM needs. Events window within (event_type, day) — a prefix of
+    the (ts, event_id) sort, so segment-major ≡ per-type global order
+    — while the bounded per-(type, day) frame (Σdev, min-of-in-segment
+    -prefix) cumulates into broadcast exclusive offsets (off, and the
+    running min of off + segmin). Then prefix = off + in-segment
+    prefix, and minp = least(min over earlier segments, off +
+    in-segment running min) — exact decimal identities, so the global
+    -window DuckDB oracle is the proof. A window partitioned by
+    event_type alone (a handful of values) would scan each type's
+    entire history in ONE task at 100 TB; segments bound a task at one
+    (type, day).
+    """
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     dev = (F.col("value") - F.lit(_CUSUM_TARGET)).cast("decimal(18,4)")
     # Decimal-safety notes (both measured as 1e-13 drift before fixing):
     # keep the prefix at DECIMAL(28,4) so the subtraction can widen one
     # digit (at 38 DuckDB falls back to DOUBLE), and express the
     # min(0, ·) clamp as CASE — DuckDB 1.0's LEAST promotes decimal
-    # arguments to DOUBLE.
-    with_prefix = ev.select(
-        "event_type", "ts", "event_id", F.sum(dev).over(w).cast("decimal(28,4)").alias("prefix")
+    # arguments to DOUBLE (Spark's least keeps decimal and skips the
+    # NULL the first segment's empty-frame min produces).
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        dev.alias("dev"),
+        F.date_trunc("day", F.col("ts")).alias("_seg"),
     )
-    minp = F.min("prefix").over(w)
-    cusum = F.when(minp < 0, F.col("prefix") - minp).otherwise(F.col("prefix"))
+    w_in = (
+        Window.partitionBy("event_type", "_seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg1 = base.withColumn("p_in", F.sum("dev").over(w_in).cast("decimal(28,4)"))
+    seg2 = seg1.withColumn("m_in", F.min("p_in").over(w_in))
+    aggs = seg1.groupBy("event_type", "_seg").agg(
+        F.sum("dev").alias("segsum"), F.min("p_in").alias("segmin")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = aggs.withColumn(
+        "_off", F.coalesce(F.sum("segsum").over(w_off), F.lit(0)).cast("decimal(28,4)")
+    ).withColumn("_gmin_before", F.min(F.col("_off") + F.col("segmin")).over(w_off))
+    joined = seg2.join(
+        F.broadcast(offs.select("event_type", "_seg", "_off", "_gmin_before")),
+        ["event_type", "_seg"],
+    )
+    prefix = (F.col("_off") + F.col("p_in")).cast("decimal(28,4)")
+    minp = F.least(F.col("_gmin_before"), F.col("_off") + F.col("m_in"))
+    cusum = F.when(minp < 0, prefix - minp).otherwise(prefix)
     return (
-        with_prefix.select("event_type", "ts", "event_id", cusum.alias("cusum"))
+        joined.select("event_type", "ts", "event_id", cusum.alias("cusum"))
         .filter(F.col("cusum") > _CUSUM_THRESHOLD)
         .select("event_type", "ts", "event_id", F.col("cusum").cast("double").alias("cusum"))
     )

@@ -536,3 +536,18 @@ def test_source_mix_draw_window_group_limit(spark, queries):
     plan = _plan(queries["source_mix_draw"](spark, SF_SMOKE))
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cusum_segmented_scan(spark, queries):
+    """events_cusum_drift's inclusive (sum, min) scans are two-phase
+    segmented (the _segmented_prefix trick extended to the running-min
+    pair): the corpus windows partition on (event_type, day-segment) —
+    never event_type alone, which would scan a type's whole history in
+    one task — and the bounded per-(type, day) offsets frame joins
+    back by broadcast."""
+    import re
+
+    plan = _plan(queries["events_cusum_drift"](spark, SF_SMOKE))
+    assert re.search(r"hashpartitioning\(event_type#\d+, _seg#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

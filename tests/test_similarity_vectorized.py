@@ -189,19 +189,20 @@ def test_knn_graph_table_batched_is_value_identical(spark, tmp_path):
 
 
 def test_knn_graph_planes_sizing_rule():
-    """The log-n geometry rule (VERDICT r9 directive #4): fixed 16
-    planes up to the measured 20M anchor, then +1 hyperplane bit per
-    corpus doubling — the lever that holds expected bucket population
-    (and hence the per-bucket Gram term) ~constant per row."""
+    """The geometry rule after the r10 40M A/B (VERDICT r9 directive
+    #4, measured and REFUTED at its proposed 20M anchor): 16 planes
+    through the highest measured scale (40M, where +1 bit read 1.33×
+    slower same-session), then +1 hyperplane bit per corpus doubling
+    as the ≥80M hypothesis — rationale on knn_graph_planes."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.similarity_vectorized import (
         knn_graph_planes,
     )
 
     assert knn_graph_planes(1_000_000) == 16
     assert knn_graph_planes(20_000_000) == 16
-    assert knn_graph_planes(40_000_000) == 17
-    assert knn_graph_planes(80_000_000) == 18
-    assert knn_graph_planes(160_000_000) == 19
-    assert knn_graph_planes(1_280_000_000) == 22
+    assert knn_graph_planes(40_000_000) == 16  # measured: 17 is slower here
+    assert knn_graph_planes(80_000_000) == 17
+    assert knn_graph_planes(160_000_000) == 18
+    assert knn_graph_planes(1_280_000_000) == 21
     # non-power-of-two corpora round UP (smaller buckets, never larger)
-    assert knn_graph_planes(50_000_000) == 18
+    assert knn_graph_planes(50_000_000) == 17
