@@ -25,9 +25,9 @@ Usage: SPARK_DRIVER_MEMORY=80g python scripts/measure_10m_rungs.py \
        (defaults: 10_000_000, /tmp/scale_probe_10m, all steps;
         steps is a comma list from
         {pca,volume,semantic,semanticvec,semanticvecsharded,bandpoolvec,
-         ivfneg,ivfnegvec,canonvec,knngraphvec,spanscrub,dsir,docs};
-        spanscrub and dsir read the documents table — run the "docs"
-        step first (they fail fast with that message otherwise);
+         ivfneg,ivfnegvec,canonvec,knngraphvec,spanscrub,dsir,draws,docs};
+        spanscrub, dsir, and draws read the documents table — run the
+        "docs" step first (they fail fast with that message otherwise);
         semanticvec — r7's vectorized scoring twin
         (operators/semantic_vectorized.py), the measured escape from the
         interpreted-fold wall — is NOT in the default step set: run it
@@ -355,6 +355,79 @@ def main() -> None:
                 "rows": int(obs.get["n"]),
                 "total_draws": int(obs.get["total_draws"]),
                 "max_draws": int(obs.get["max_draws"]),
+            }
+        )
+        spark.catalog.clearCache()
+
+    if "draws" in steps:
+        need_docs("draws")
+        from pyspark.sql import Observation
+
+        from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+            _DRAW_STEP,
+            _toks,
+            sequence_packing,
+            weighted_systematic_draw,
+        )
+
+        # The segmented-window selection/packing pair (r10 directive
+        # #2's rewrite) at corpus scale. Conservation oracles computed
+        # independently from one cheap aggregate each: the draw's
+        # total must equal sum over shards of ceil(mass/STEP); the
+        # packing's emitted tok_len mass must equal the corpus token
+        # count (every token lands in exactly one span).
+        docs_df = spark.read.parquet(docs_path)
+        expected_draws = (
+            docs_df.filter(F.col("n_chars") > 0)
+            .groupBy("source")
+            .agg(F.sum("n_chars").alias("mass"))
+            .select(F.expr(f"(mass + {_DRAW_STEP} - 1) div {_DRAW_STEP}").alias("k"))
+            .agg(F.sum("k"))
+            .first()[0]
+        )
+        obs = Observation("draw_rows")
+        t0 = time.time()
+        drawn = weighted_systematic_draw(spark, out).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_draws").alias("total_draws"),
+            F.max("n_draws").alias("max_draws"),
+        )
+        run(drawn)
+        emit(
+            {
+                "op": "weighted_systematic_draw",
+                "n_docs": n_docs,
+                "seconds": round(time.time() - t0, 2),
+                "rows": int(obs.get["n"]),
+                "total_draws": int(obs.get["total_draws"]),
+                "expected_draws": int(expected_draws),
+                "max_draws": int(obs.get["max_draws"]),
+            }
+        )
+        spark.catalog.clearCache()
+
+        # reuse the operator family's own tokenizer so the expected
+        # mass is definitionally identical (split-on-space + drop-empty)
+        expected_tokens = docs_df.select(F.sum(F.size(_toks())).alias("t")).first()[0]
+        obs2 = Observation("pack_rows")
+        t0 = time.time()
+        packed = sequence_packing(spark, out).observe(
+            obs2,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tok_len").alias("token_mass"),
+            F.max("seq_id").alias("max_seq"),
+        )
+        run(packed)
+        emit(
+            {
+                "op": "sequence_packing",
+                "n_docs": n_docs,
+                "seconds": round(time.time() - t0, 2),
+                "rows": int(obs2.get["n"]),
+                "token_mass": int(obs2.get["token_mass"]),
+                "expected_tokens": int(expected_tokens),
+                "max_seq_id": int(obs2.get["max_seq"]),
             }
         )
         spark.catalog.clearCache()
