@@ -365,3 +365,55 @@ def test_rerank_cross_features_match_python_reference(spark, docs):
         assert r["bigram_hits"] == bigram_hits, (i, toks)
         assert r["_minpos"] == minpos, (i, toks)
         assert r["_maxpos"] == maxpos, (i, toks)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 999),  # doc id (unique-ified below)
+            st.sampled_from(["s0", "s1", "s2"]),  # shard
+            st.integers(1, 50),  # weight
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_segmented_prefix_equals_single_window(spark, rows):
+    """_segmented_prefix (r10: the de-serialized per-shard window) must
+    equal the naive single per-shard window's exclusive prefix sum for
+    ANY frame — empty, single-row, one-segment, all-same-shard — under
+    the md5-key order the draw family uses. The segment is a prefix of
+    the sort key, so segment-major order IS shard order; this pins the
+    identity the three DuckDB oracles rely on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_lake_construction_and_querying_with_pyspark_spark.operators.corpus_quality import (
+        _segmented_prefix,
+    )
+
+    uniq = {}
+    for i, (d, s, w) in enumerate(rows):
+        uniq[i] = (i * 1000 + d, s, w)  # unique doc ids, arbitrary gaps
+    data = list(uniq.values())
+    schema = "doc_id long, source string, w long"
+    df = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+    k = F.md5(F.concat(F.lit("prop:"), F.col("doc_id").cast("string")))
+    base = df.withColumn("_k", k).withColumn("_seg", F.substring("_k", 1, 2))
+    got = {
+        r["doc_id"]: r["prefix"]
+        for r in _segmented_prefix(base, "w", "_seg", ["_k", "doc_id"]).collect()
+    }
+    naive_w = (
+        Window.partitionBy("source")
+        .orderBy("_k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["doc_id"]: r["prefix"]
+        for r in base.withColumn(
+            "prefix", F.coalesce(F.sum("w").over(naive_w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
