@@ -1312,9 +1312,14 @@ def dsir_resample_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (they could never be drawn; the filter keeps the prefix sum
     free of dead rows). The running prefix accumulates as
     DECIMAL(28,0)-summed-to-DECIMAL(38,0) — matching the oracle's
-    HUGEINT and the s12 pattern — so a shard past the old BIGINT
-    bound (~9·10¹² docs at ratio 1) nulls out loudly instead of
-    silently wrapping; the practical ceiling moves to ~10³² docs.
+    HUGEINT and the s12 pattern — but the BINDING bound is the draw
+    count: Spark's ``div`` is IntegralDivide returning BIGINT, so the
+    quotient ``prefix div {_DSIR_DRAW_STEP}`` overflows to null past
+    ~9.2·10¹⁸ draws ≈ 4.6·10²⁵ mass per shard (~10¹⁹ docs at
+    w6 = 10⁶), long before DECIMAL(38,0)'s ~10³². Either null (prefix
+    or quotient) raises loudly here instead of being silently dropped
+    by the ``n_draws > 0`` filter — matching the oracle side, where
+    DuckDB's HUGEINT arithmetic errors on overflow natively.
 
     Scale shape (100 TB): inherits the DSIR core's broadcast-only
     scoring (bounded bucket tables, 1-row totals; one groupBy(doc_id)
@@ -1340,7 +1345,17 @@ def dsir_resample_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(prefix + dsir_w6 - 1 + {_DSIR_DRAW_STEP}) div {_DSIR_DRAW_STEP}"
         f" - (prefix - 1 + {_DSIR_DRAW_STEP}) div {_DSIR_DRAW_STEP}"
     )
+    # prefix overflow (DECIMAL sum) or quotient overflow (div's BIGINT
+    # bound, the tighter one — docstring) surfaces as null; without
+    # this guard the `n_draws > 0` filter would swallow it silently
+    guarded = F.when(
+        F.col("prefix").isNull() | n_draws.isNull(),
+        F.raise_error(
+            "dsir_resample_draw: prefix/draw-count overflow (shard mass "
+            f"past ~4.6e25, the BIGINT quotient bound at STEP={_DSIR_DRAW_STEP})"
+        ).cast("int"),
+    ).otherwise(n_draws.cast("int"))
     return (
-        pos.select("doc_id", "source", "dsir_w6", n_draws.cast("int").alias("n_draws"))
+        pos.select("doc_id", "source", "dsir_w6", guarded.alias("n_draws"))
         .filter(F.col("n_draws") > 0)
     )

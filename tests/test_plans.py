@@ -523,7 +523,14 @@ def test_dsir_resample_shard_window_and_integer_weight(spark, queries):
     assert "CartesianProduct" not in plan, plan
     df.collect()
     executed = _plan(df)
-    assert executed.count("ReusedExchange") >= 4, executed
+    # ReusedExchange is an optimizer behavior, config/version-sensitive
+    # (ADVICE r10 #3) — the HARD invariant is the SinglePartition bound
+    # above; assert reuse only under the confs that guarantee it.
+    if (
+        spark.conf.get("spark.sql.exchange.reuse", "true") == "true"
+        and spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    ):
+        assert executed.count("ReusedExchange") >= 4, executed
 
 
 def test_source_mix_draw_window_group_limit(spark, queries):
@@ -536,6 +543,25 @@ def test_source_mix_draw_window_group_limit(spark, queries):
     plan = _plan(queries["source_mix_draw"](spark, SF_SMOKE))
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rerank_window_has_nonempty_partition_spec(spark, queries):
+    """The rerank stage ranks a ≤50-row candidate frame, so a single-
+    partition window is semantically fine — but an EMPTY partition spec
+    makes WindowExec warn "No Partition Defined" into every bench tail,
+    training everyone to ignore the one warning that matters if a
+    genuinely unpartitioned window ever ships (VERDICT r10 #3). The
+    spec must survive the optimizer: Spark 4's
+    EliminateWindowPartitions folds a bare lit() back out, so the
+    operator keys on a non-foldable constant-valued expression. A
+    Window node with an empty spec prints only two bracket groups
+    (functions, orderSpec); partitioned ones print three."""
+    df = queries["rerank_bm25_candidates"](spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    window_lines = [l for l in opt.splitlines() if "Window [" in l]
+    assert window_lines, opt
+    for line in window_lines:
+        assert line.count("], [") >= 2, f"empty window partition spec: {line}"
 
 
 def test_cusum_segmented_scan(spark, queries):
