@@ -243,9 +243,38 @@ def approx_percentiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tablesample_orders", oracle=None)
 def tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (~10%). Sampling is engine-specific RNG →
-    rows-only driver check; tests assert the fraction statistically."""
+    rows-only driver check; tests assert the fraction statistically.
+    Deterministic oracle-bearing twin: `tablesample_orders_hashed`."""
     o = load_table(spark, sf_dir, "orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "tablesample_orders_hashed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substring(md5('tsample:' || CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def tablesample_orders_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli-sample twin of `tablesample_orders`
+    (VERDICT r10 What's-missing #2): keep an order iff
+    ``substr(md5('tsample:' || o_orderkey), 1, 4) < '1999'`` — exact
+    inclusion probability 6553/65536 ≈ 10%, zero RNG, so task retries
+    / AQE re-plans / either engine draw the byte-identical sample
+    (fixed-width lowercase hex compares as its numeric value in both —
+    the `training_sample` idiom, operators/semantic.py). This is the
+    100 TB sampling shape: `sample(seed=…)` is partitioning-dependent
+    (a repartition or split change re-rolls every row), a content-hash
+    threshold is not; it evaluates map-side in the scan stage — no
+    shuffle, no sampler state. The RNG entry stays registered
+    rows-only for API parity."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("tsample:"), F.col("o_orderkey").cast("string")))
+    return o.filter(F.substring(h, 1, 4) < "1999").select(
+        "o_orderkey", "o_totalprice"
+    )
 
 
 @register(
@@ -313,12 +342,51 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-status) seeded sampling via sampleBy — downsample
     hot strata, keep rare ones whole: the class-balancing primitive for
     training-data curation. Engine-specific RNG → rows-only; tests
-    assert per-stratum fractions."""
+    assert per-stratum fractions. Deterministic oracle-bearing twin:
+    `stratified_sample_orders_hashed`."""
     o = load_table(spark, sf_dir, "orders")
     fractions = {"O": 0.05, "F": 0.5, "P": 1.0}
     return o.sampleBy("o_orderstatus", fractions, seed=42).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+# (status → 4-hex-char md5 threshold): numerators over the 65536 grid.
+# P has no threshold — its stratum is kept whole (fraction 1.0), like
+# the RNG entry's sampleBy fractions.
+_STRAT_THR_HEX = {"O": "0ccd", "F": "8000"}  # 3277/65536 ≈ 5%, 32768/65536 = 50%
+
+
+@register(
+    "stratified_sample_orders_hashed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE CASE o_orderstatus
+            WHEN 'O' THEN substring(md5('strat:' || CAST(o_orderkey AS VARCHAR)), 1, 4) < '0ccd'
+            WHEN 'F' THEN substring(md5('strat:' || CAST(o_orderkey AS VARCHAR)), 1, 4) < '8000'
+            ELSE TRUE
+          END
+    """,
+)
+def stratified_sample_orders_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified-sample twin of `stratified_sample_orders`
+    (VERDICT r10 What's-missing #2): per-stratum md5 thresholds — hot
+    'O' orders kept at 3277/65536 ≈ 5%, 'F' at exactly 50%, the rare
+    'P' stratum whole — the class-balancing draw re-expressed on the
+    `training_sample` content-hash idiom so both engines (and any two
+    cluster runs, under any partitioning) select the byte-identical
+    row set. One scan, one pushable filter, no RNG state anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    h4 = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("o_orderkey").cast("string"))), 1, 4
+    )
+    keep = F.when(
+        F.col("o_orderstatus") == "O", h4 < _STRAT_THR_HEX["O"]
+    ).when(
+        F.col("o_orderstatus") == "F", h4 < _STRAT_THR_HEX["F"]
+    ).otherwise(F.lit(True))
+    return o.filter(keep).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 @register(

@@ -139,8 +139,12 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     # loud prefix-overflow guard): driver must see the new code --
     "rerank_bm25_candidates",
     "dsir_resample_draw",
-    # -- r9-aged re-verification picks (9 of 48, complexity-first;
-    # the 39 left out keep green r9 rows and form r12's must-set) --
+    # -- NEW registrations this round (deterministic md5-threshold
+    # sampling twins, VERDICT r10 What's-missing #2): first exposure --
+    "tablesample_orders_hashed",
+    "stratified_sample_orders_hashed",
+    # -- r9-aged re-verification picks (7 of 48, complexity-first;
+    # the 41 left out keep green r9 rows and form r12's must-set) --
     "dedup_minhash_near_dup",
     "semantic_dedup_sampled",
     "bpe_learn_merges",
@@ -148,8 +152,6 @@ _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
     "hard_negative_mining",
     "dsir_importance_weights",
     "knn_graph_topk",
-    "decontamination_overlap",
-    "asof_latest_order_per_event",
 )
 
 
