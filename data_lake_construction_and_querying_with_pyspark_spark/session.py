@@ -57,6 +57,25 @@ _DEFAULTS = {
 }
 
 
+def local_master_string() -> str:
+    """``local[$SPARK_GRAFT_CPUS]``, plus task retries when
+    ``SPARK_GRAFT_TASK_RETRIES`` is set: ``local[N,R]``.
+
+    Local mode IGNORES ``spark.task.maxFailures`` — the local scheduler
+    hard-codes maxFailures from the MASTER STRING (1 unless the
+    ``local[N,R]`` form is used), so passing the conf via
+    PYSPARK_SUBMIT_ARGS silently does nothing. Measured r11: a single
+    wedged python worker (JVM and worker both asleep on the Arrow
+    socket) killed 40 minutes into an 80M rung aborted the whole job
+    with "failed 1 times". Multi-hour rung runs set
+    SPARK_GRAFT_TASK_RETRIES=4; the default stays bare ``local[N]`` so
+    tests keep fail-fast semantics. Cluster masters are unaffected —
+    there ``spark.task.maxFailures`` (default 4) applies normally."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    retries = os.environ.get("SPARK_GRAFT_TASK_RETRIES", "").strip()
+    return f"local[{cpus},{int(retries)}]" if retries else f"local[{cpus}]"
+
+
 def get_spark(
     app_name: str = "data_lake_engine",
     master: str | None = None,
@@ -65,13 +84,14 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally (see
+    :func:`local_master_string` for the task-retry form); on a real
     cluster the caller passes ``None`` with a cluster master already set in
     the environment and we leave it alone.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cpus}]")
+    builder = builder.master(master or local_master_string())
     n_shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
     builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
     if master is None or master.startswith("local"):

@@ -52,3 +52,20 @@ def test_default_fill_values_match_reference():
     cfg = JobConfig(file_type="csv", table_name="t", ps_query="SELECT 1")
     assert cfg.fill_values == {"Phone": "Unknown"}
     assert cfg.reference_faithful is True
+
+
+def test_local_master_string_encodes_task_retries(monkeypatch):
+    """Local mode ignores spark.task.maxFailures — retries live in the
+    MASTER STRING (local[N,R]); SPARK_GRAFT_TASK_RETRIES opts rung runs
+    into retry-resilience while tests keep fail-fast local[N]."""
+    from data_lake_construction_and_querying_with_pyspark_spark.session import (
+        local_master_string,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    monkeypatch.delenv("SPARK_GRAFT_TASK_RETRIES", raising=False)
+    assert local_master_string() == "local[8]"
+    monkeypatch.setenv("SPARK_GRAFT_TASK_RETRIES", "4")
+    assert local_master_string() == "local[8,4]"
+    monkeypatch.setenv("SPARK_GRAFT_TASK_RETRIES", "")
+    assert local_master_string() == "local[8]"
