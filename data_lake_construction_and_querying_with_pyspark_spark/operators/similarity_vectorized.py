@@ -176,6 +176,8 @@ def knn_graph_edges_vectorized(
     seed: int = 7,
     table_batches: int = 1,
     scratch_dir: str | None = None,
+    tables: "list[int] | None" = None,
+    log_wave_wall=None,
 ) -> DataFrame:
     """Approximate kNN-graph edges with GEMM scoring — the vectorized
     twin of ``similarity.knn_graph_edges`` (same bands via the shared
@@ -207,6 +209,17 @@ def knn_graph_edges_vectorized(
     outlive every action on the returned (lazy) frame — full caveats
     on ``canonical_corpus_embeddings_vectorized``.
 
+    ``tables`` restricts the pass to an explicit subset of absolute
+    table indices (plane seeds stay keyed by the absolute index, same
+    contract as ``lsh_buckets_vectorized``) — the partial-arm knob the
+    80M geometry A/B's paired-wave probe uses; partial-table output is
+    a partial graph, so production callers leave it None.
+    ``log_wave_wall`` (callable, dict -> None) receives one breadcrumb
+    per staged wave — {"wave", "tables", "seconds", "path"} — measured
+    around the wave's eager parquet write; rung scripts stream these to
+    the results file so a wall-clock overrun preserves every finished
+    wave (the waves run at call time; only the merge is lazy).
+
     Geometry sizing: 8×16 is the measured-best setting through 40M —
     the r10 same-session A/B read +1 plane bit as 1.33× SLOWER at 40M
     (per-group overhead beats the halved Gram term; full adjudication
@@ -232,25 +245,38 @@ def knn_graph_edges_vectorized(
         return pd.DataFrame({"vec_id": s, "nbr_id": d, "cosine": c})
 
     if table_batches <= 1:
-        flat = lsh_buckets_vectorized(spark, base, n_tables, n_planes, seed)
+        flat = lsh_buckets_vectorized(
+            spark, base, n_tables, n_planes, seed, tables=tables
+        )
         local = flat.groupBy("tbl", "bucket").applyInPandas(per_bucket, out_schema)
     else:
         import tempfile
+        import time
 
         scratch = scratch_dir or tempfile.mkdtemp(prefix="knngraphvec_waves_")
-        all_tables = list(range(n_tables))
+        all_tables = list(tables) if tables is not None else list(range(n_tables))
         wave_paths = []
         for ci in range(table_batches):
             chunk = all_tables[ci::table_batches]
             if not chunk:
                 continue
             path = f"{scratch}/local_wave_{ci}"
+            t0 = time.time()
             lsh_buckets_vectorized(
                 spark, base, n_tables, n_planes, seed, tables=chunk
             ).groupBy("tbl", "bucket").applyInPandas(
                 per_bucket, out_schema
             ).write.mode("overwrite").parquet(path)
             wave_paths.append(path)
+            if log_wave_wall is not None:
+                log_wave_wall(
+                    {
+                        "wave": ci,
+                        "tables": chunk,
+                        "seconds": round(time.time() - t0, 2),
+                        "path": path,
+                    }
+                )
             best_effort_jvm_gc(spark)  # release the wave's shuffle files
         local = spark.read.parquet(*wave_paths)
     merged = local.groupBy("vec_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
