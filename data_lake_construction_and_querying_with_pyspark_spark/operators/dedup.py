@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
-from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+    fan_out_small_scan,
+    load_table,
+)
 
 # --- shared shingling expressions --------------------------------------------
 
@@ -585,7 +588,9 @@ def embedding_cosine_pairs_scaled(
         with_norm,
     )
 
-    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    # r11: fan the corpus out before the norm/LSH folds (guarded
+    # no-op at lake scale — fan_out_small_scan docstring).
+    e = with_norm(fan_out_small_scan(emb, "vec_id")).persist(StorageLevel.MEMORY_AND_DISK)
     # Flat (vec_id, tbl, bucket) rows from the data-driven plane table
     # (bit-identical buckets to the expression form — see
     # lsh_multi_buckets_flat), with (v, norm) attached so the self-join

@@ -51,7 +51,10 @@ from pyspark.sql.functions import pandas_udf
 
 from data_lake_construction_and_querying_with_pyspark_spark.operators.text import _toks
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
-from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+    fan_out_small_scan,
+    load_table,
+)
 
 # Fixed demo query — terms chosen from the fixture vocabulary with
 # distinct document frequencies so the idf weighting is exercised.
@@ -135,6 +138,11 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str]) -> DataFrame:
     one fixed chain of individually-rounded double ops, DECIMAL(38,12)
     per-term contributions before the per-document SUM."""
     spark = docs.sparkSession
+    # r11: tokenization is the heavy per-row step and `toks` is consumed
+    # by BOTH the doc-length aggregate and the tf join — fan the scan
+    # out so the explode runs on every core (no-op at lake scale):
+    # fan_out_small_scan.
+    docs = fan_out_small_scan(docs, "doc_id")
     toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
 
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -198,7 +206,7 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast back onto the postings → window ranked WITHIN
     doc_id partitions (no global sort; the window key is the natural
     partitioning so no second shuffle after the tf aggregate)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

@@ -266,6 +266,20 @@ def _oracle_semantic(
     """
 
 
+def _with_vsq(base: DataFrame) -> DataFrame:
+    """Attach the per-vector squared norm ``vsq = ⟨v,v⟩`` once (r11
+    optimization, guide §1.2 "per-task work"): every d2 the assignment
+    evaluates needs ⟨v,v⟩, and the sequential fold it comes from is the
+    dominant per-row cost of the whole Lloyd's step (the
+    ``aggregate``/``zip_with`` fold is interpreted, ~6 µs per 64-dim
+    evaluation — measured in OPTIMIZATION_r11.md). Computing it per
+    (vector, anchor) and per (vector, shortlisted centroid) triples the
+    fold count; computing it once per vector and reusing the COLUMN is
+    bit-identical (the reused value IS the fold's value) and ~3×
+    cheaper. No-op when the caller already carries ``vsq``."""
+    return base if "vsq" in base.columns else base.withColumn("vsq", dot("v", "v"))
+
+
 def kmeans_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """One Lloyd's assignment: nearest centroid per vector (cell-id
     tie-break). ``centroids`` is k rows → broadcast. The argmin is a
@@ -274,17 +288,26 @@ def kmeans_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     an aggregation it collapses the k scored copies of each vector
     map-side (the cross join never repartitions, so all k live in one
     partition) and only n rows reach the exchange — the 100 TB shape,
-    vs a window that would shuffle all n·k scored rows."""
-    d2 = (
-        dot("v", "v") - F.lit(2) * dot("v", "cent") + dot("cent", "cent")
-    ).alias("d2")
-    best = F.min_by(F.struct("cell", "v"), F.struct("d2", "cell")).alias("b")
+    vs a window that would shuffle all n·k scored rows.
+
+    d2 reuses precomputed squared norms (``vsq`` per vector, ``csq``
+    per centroid — k folds once, not k folds per vector): identical
+    arithmetic, one fold per (vector, centroid) instead of three."""
+    base = _with_vsq(base)
+    cents = centroids.withColumn("csq", dot("cent", "cent"))
+    d2 = (F.col("vsq") - F.lit(2) * dot("v", "cent") + F.col("csq")).alias("d2")
+    best = F.min_by(F.struct("cell", "v", "vsq"), F.struct("d2", "cell")).alias("b")
     return (
-        base.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "v", "cell", d2)
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "vsq", "cell", d2)
         .groupBy("vec_id")
         .agg(best)
-        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+        .select(
+            "vec_id",
+            F.col("b.v").alias("v"),
+            F.col("b.cell").alias("cell"),
+            F.col("b.vsq").alias("vsq"),
+        )
     )
 
 
@@ -293,6 +316,16 @@ def _d2_col(v, cent) -> F.Column:
     ``(⟨v,v⟩ − 2⟨v,c⟩) + ⟨c,c⟩`` with sequential-fold dots that
     ``_d2_sql`` replays — bit-identical cross-engine."""
     return dot(v, v) - F.lit(2) * dot(v, cent) + dot(cent, cent)
+
+
+def _d2_pre(vsq, v, cent, csq) -> F.Column:
+    """``_d2_col`` with both squared norms precomputed: the identical
+    left-associative ``(vsq − 2⟨v,c⟩) + csq`` where ``vsq``/``csq`` are
+    columns holding exactly the values the inline folds would produce —
+    one fold per evaluation instead of three, same bits (a reused
+    column value is the fold's value; IEEE ops on identical operands in
+    the identical order round identically)."""
+    return vsq - F.lit(2) * dot(v, cent) + csq
 
 
 SHUFFLED_ASSIGN_SALT = 32  # salt fan-out for the shuffled acell join (replicates only the k-row centroid side)
@@ -355,40 +388,58 @@ def shortlist_assign(
     and every hot anchor's work splits S ways. The per-vec_id min_by
     runs AFTER the join, so the candidate set — and therefore every
     value and the DuckDB oracle — is untouched by the salt."""
+    base = _with_vsq(base)
+    # r11: squared norms ride the anchor structs (asq, m folds once) and
+    # the bucketed-centroid table (csq, k folds once) so every d2 below
+    # — n·m anchor probes plus n·nprobe·(k/m) shortlist scores — costs
+    # ONE fold instead of three. Values are bit-identical (_d2_pre).
     anchors = (
         centroids.orderBy("cell")
         .limit(m)
-        .select(F.col("cell").alias("acell"), F.col("cent").alias("acent"))
+        .select(
+            F.col("cell").alias("acell"),
+            F.col("cent").alias("acent"),
+            dot("cent", "cent").alias("asq"),
+        )
     )
     aarr = anchors.agg(
-        F.array_sort(F.collect_list(F.struct("acell", "acent"))).alias("aarr")
+        F.array_sort(F.collect_list(F.struct("acell", "acent", "asq"))).alias("aarr")
     )
 
-    def anchor_scores(v) -> F.Column:
+    def anchor_scores(v, vsq) -> F.Column:
         # sorted (d2, acell) structs — lexicographic struct ordering IS
         # the oracle's ORDER BY d2, acell
         return F.array_sort(
             F.transform(
                 F.col("aarr"),
                 lambda a: F.struct(
-                    _d2_col(v, a["acent"]).alias("d2"), a["acell"].alias("acell")
+                    _d2_pre(vsq, v, a["acent"], a["asq"]).alias("d2"),
+                    a["acell"].alias("acell"),
                 ),
             )
         )
 
-    bucketed = centroids.crossJoin(F.broadcast(aarr)).select(
-        "cell", "cent", anchor_scores(F.col("cent"))[0]["acell"].alias("acell")
+    bucketed = (
+        centroids.withColumn("csq", dot("cent", "cent"))
+        .crossJoin(F.broadcast(aarr))
+        .select(
+            "cell",
+            "cent",
+            "csq",
+            anchor_scores(F.col("cent"), F.col("csq"))[0]["acell"].alias("acell"),
+        )
     )
     probed = (
         base.crossJoin(F.broadcast(aarr))
         .select(
             "vec_id",
             "v",
-            F.explode(F.slice(anchor_scores(F.col("v")), 1, nprobe)).alias("p"),
+            "vsq",
+            F.explode(F.slice(anchor_scores(F.col("v"), F.col("vsq")), 1, nprobe)).alias("p"),
         )
-        .select("vec_id", "v", F.col("p.acell").alias("acell"))
+        .select("vec_id", "v", "vsq", F.col("p.acell").alias("acell"))
     )
-    best = F.min_by(F.struct("cell", "v"), F.struct("d2", "cell")).alias("b")
+    best = F.min_by(F.struct("cell", "v", "vsq"), F.struct("d2", "cell")).alias("b")
     if broadcast_buckets:
         joined = probed.join(F.broadcast(bucketed), "acell")
     else:
@@ -400,10 +451,21 @@ def shortlist_assign(
         joined = probed_s.join(bucketed_s, ["acell", "salt"])
     return (
         joined
-        .select("vec_id", "v", "cell", _d2_col(F.col("v"), F.col("cent")).alias("d2"))
+        .select(
+            "vec_id",
+            "v",
+            "vsq",
+            "cell",
+            _d2_pre(F.col("vsq"), F.col("v"), F.col("cent"), F.col("csq")).alias("d2"),
+        )
         .groupBy("vec_id")
         .agg(best)
-        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+        .select(
+            "vec_id",
+            F.col("b.v").alias("v"),
+            F.col("b.cell").alias("cell"),
+            F.col("b.vsq").alias("vsq"),
+        )
     )
 
 
@@ -460,8 +522,11 @@ def semantic_dedup(
     # Session-owned persist (repo convention — callers clearCache):
     # `base` feeds every iteration's assignment. Seed-centroid details
     # (constant non-foldable window key, driver materialization):
-    # _seed_centroids.
-    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    # _seed_centroids. vsq is persisted WITH the vectors so its fold
+    # runs once per vector total, not once per iteration (_with_vsq).
+    base = _with_vsq(
+        emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    ).persist()
     centroids = _seed_centroids(spark, base, k)
     m = coarse_m(k)
     assigned = None
@@ -481,8 +546,14 @@ def mark_within_cell_dups(assigned: DataFrame, tau: float) -> DataFrame:
     exact cosine inside each cell only (candidates bounded by Σ|cell|²,
     clusters independent → per-cell parallelism, no cross-cell data
     movement), emitting (vec_id, cell_id, is_semantic_dup) where a
-    vector is a dup iff a LOWER-id cell-mate has cosine ≥ tau."""
-    nm = assigned.withColumn("norm", F.sqrt(dot("v", "v"))).persist()
+    vector is a dup iff a LOWER-id cell-mate has cosine ≥ tau.
+
+    ``norm`` reuses the assignment's precomputed ``vsq`` when the frame
+    carries it — ``sqrt(vsq)`` is bit-identical to ``sqrt(⟨v,v⟩)``
+    (same fold value, same correctly-rounded sqrt) and saves one
+    64-element fold per vector."""
+    normsq = F.col("vsq") if "vsq" in assigned.columns else dot("v", "v")
+    nm = assigned.withColumn("norm", F.sqrt(normsq)).persist()
     i, j = nm.alias("i"), nm.alias("j")
     cosine = dot("i.v", "j.v") / (F.col("i.norm") * F.col("j.norm"))
     dups = (
@@ -614,7 +685,9 @@ def semantic_dedup_sampled(
     ~80 MB at k=156 250, dim 64). The decision is logged in the plan,
     not silent: .explain shows BroadcastHashJoin vs SortMerge/
     ShuffledHashJoin on acell."""
-    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    base = _with_vsq(
+        emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    ).persist()
     n = base.count()
     if broadcast_buckets is None:
         first = base.select(F.size("v").alias("d")).first()
@@ -701,7 +774,9 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     free)."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(IVF_MIN_CELLS, emb.count() // TARGET_CELL)
-    base = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).persist()
+    base = _with_vsq(
+        emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    ).persist()
     # Quantizer build uses the SAME coarse-anchor shortlist as
     # semantic_dedup (r4: the build was the last flat O(n·k·d) Lloyd's
     # in the repo); seed centroids via the shared _seed_centroids. The
@@ -716,16 +791,19 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             centroids = _materialize_centroids(spark, kmeans_update(assigned))
     # `centroids` is now the table that produced the final assignment
     # (c_{iters-1}) — probing must use the same one the cells came from.
-    nm = assigned.withColumn("norm", F.sqrt(dot("v", "v"))).persist()
+    # norm = sqrt(vsq): the assignment carried the squared norm through,
+    # so no per-vector re-fold here (bit-identical — see _with_vsq).
+    nm = assigned.withColumn("norm", F.sqrt(F.col("vsq"))).persist()
     q = nm.filter(F.col("vec_id") < IVF_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
+        F.col("vsq").alias("qsq"),
     )
-    d2 = dot("qv", "qv") - F.lit(2) * dot("qv", "cent") + dot("cent", "cent")
+    d2 = _d2_pre(F.col("qsq"), F.col("qv"), F.col("cent"), F.col("csq"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("cd2"), F.asc("cell"))
     probes = (
-        q.crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(centroids.withColumn("csq", dot("cent", "cent"))))
         .select("query_id", "qv", "qnorm", "cell", d2.alias("cd2"))
         .withColumn("crn", F.row_number().over(wq))
         .filter(F.col("crn") <= IVF_NPROBE)

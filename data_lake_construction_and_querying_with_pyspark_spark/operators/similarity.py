@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
-from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 _TOP_K = 10
@@ -445,7 +448,11 @@ def knn_graph_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
-    e = with_norm(base.unionByName(clones)).persist(StorageLevel.MEMORY_AND_DISK)
+    # r11: fan the unioned corpus out before the norm/LSH folds
+    # (guarded no-op at lake scale — fan_out_small_scan docstring).
+    e = with_norm(fan_out_small_scan(base.unionByName(clones), "vec_id")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     scored = _bucket_scored_candidates(e, _SCALED_TABLES, _SCALED_PLANES)
     best = F.max_by(
         F.struct("nbr_id", "cosine"), F.struct(F.col("cosine"), (-F.col("nbr_id")).alias("neg"))
@@ -529,7 +536,7 @@ def knn_graph_edges(
     partition) cross, never the full candidate multiset."""
     from pyspark import StorageLevel
 
-    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    e = with_norm(fan_out_small_scan(emb, "vec_id")).persist(StorageLevel.MEMORY_AND_DISK)
     scored = _bucket_scored_candidates(e, n_tables, n_planes).distinct()
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return scored.withColumn("edge_rank", F.row_number().over(w).cast("int")).filter(
@@ -1338,7 +1345,7 @@ def hard_negative_triplets(
     per anchor; the final join is positives-sized."""
     from pyspark import StorageLevel
 
-    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    e = with_norm(fan_out_small_scan(emb, "vec_id")).persist(StorageLevel.MEMORY_AND_DISK)
     if neg_tables is None or neg_planes is None:
         auto_t, auto_p = neg_pool_geometry(e.count())
         neg_tables = neg_tables if neg_tables is not None else auto_t
@@ -1415,7 +1422,7 @@ def hard_negative_triplets_ivf(
         training_sample,
     )
 
-    e = with_norm(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    e = with_norm(fan_out_small_scan(emb, "vec_id")).persist(StorageLevel.MEMORY_AND_DISK)
     pos = _positive_pairs(e, n_tables, n_planes, tau)
 
     base = e.select("vec_id", "v")

@@ -179,6 +179,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_events(spark, path) if name == "events" else spark.read.parquet(path)
 
 
+def fan_out_small_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Guarded scan fan-out (r11; optimization guide §2.5 "input skew:
+    one huge unsplittable file → repartition immediately after the
+    read"): when ``df`` carries fewer partitions than the session's
+    core count — a single-row-group parquet file, a tiny table, a
+    narrow union of such scans — hash-repartition it by ``keys`` to
+    ``defaultParallelism`` so the CPU-heavy per-row work that follows
+    (tokenization, fold dot products, decimal casts) runs on every
+    core instead of one task. Parquet row groups are the minimum scan
+    split: a 1-row-group file is unsplittable no matter what
+    ``maxPartitionBytes`` says, so without this the whole pre-shuffle
+    pipeline of such a table is single-threaded.
+
+    Scale behavior: at production scale any real scan already has
+    ≥ cores partitions and this is a NO-OP — zero added exchange, so
+    the 100 TB plan is untouched and scan-side predicate pushdown is
+    unaffected where it matters.
+
+    Hash (not round-robin) partitioning on a stable key: keyless
+    ``repartition(n)`` pays a local sort of its input
+    (``sortBeforeRepartition``, guide §2.5) and that sort lands in the
+    single scan task this helper exists to relieve; hashing a stable
+    high-cardinality key is deterministic, sort-free, and retry-safe.
+
+    Values are unaffected by construction: every registered operator is
+    partitioning-independent per the registry's determinism contract
+    (exact decimal sums, keyed equi-joins, total-order tie-breaks)."""
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(parallelism, *[F.col(k) for k in keys])
+
+
 def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver test table from ``sf_dir`` as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
