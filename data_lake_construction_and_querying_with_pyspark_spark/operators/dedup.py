@@ -792,7 +792,12 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if raw.count() <= driver_gate:
+    # Gate via limit(gate+1): when the edge list fits, this IS the full
+    # list (limit of a ≤gate-row relation returns every row), so gate
+    # check + collect are ONE Spark action instead of count + collect
+    # (r11; the pagerank driver gate uses the same trick).
+    raw_rows = raw.limit(driver_gate + 1).collect()
+    if len(raw_rows) <= driver_gate:
         # Union-find needs neither symmetrization nor dedup — process
         # the raw edges straight off the cache.
         parent: dict = {}
@@ -803,7 +808,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in raw.collect():
+        for row in raw_rows:
             for x in (row.u, row.v):
                 if x not in parent:
                     parent[x] = x

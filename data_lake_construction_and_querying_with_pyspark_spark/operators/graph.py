@@ -107,11 +107,39 @@ def _oracle_iteration(k: int) -> str:
     """
     ),
 )
-def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_trade_network(
+    spark: SparkSession, sf_dir: str, driver_gate: int = 1_000_000
+) -> DataFrame:
     """Weighted PageRank (d=0.85, 3 unrolled iterations, dangling-mass
     redistribution) over the nation trade graph aggregated from the
     fact tables. See module docstring for the scale split and the
-    cross-engine determinism contract."""
+    cross-engine determinism contract.
+
+    r11 optimization (guide §1.2 "the distributed algorithm" / §5 "the
+    driver should do almost no data work — but vocabulary-sized state
+    is not data work"): the expensive distributed pass (fact scan +
+    joins + edge aggregation) is unchanged, but when the aggregated
+    graph is at or under ``driver_gate`` edges the three iterations run
+    on the DRIVER over the collected (src, dst, wn) list instead of as
+    3 localCheckpoint-materialized Spark jobs plus per-iteration
+    broadcast/aggregate jobs — measured 51 Spark jobs → 6 for a
+    25-node graph, with iteration arithmetic replicated bit-for-bit:
+
+    * ``rank·wn`` / the teleport-damping chain are plain IEEE-double
+      ops — Python floats ARE doubles, same ops, same order.
+    * ``CAST(x AS DECIMAL(38,12))`` is ``BigDecimal.valueOf`` (shortest
+      decimal repr, then setScale HALF_UP); Python's
+      ``Decimal(repr(x)).quantize(1e-12, HALF_UP)`` is the same
+      construction (repr is the same shortest round-trip string) —
+      verified exhaustively on 2M random doubles (zero mismatches,
+      both cast directions; OPTIMIZATION_r11.md).
+    * Decimal sums are exact in both engines (context precision 60
+      here, far above the 38-digit type).
+
+    This is the ``connected_components`` driver-gate precedent applied
+    to the rank loop: the graph is ≤ |nations|² rows by construction,
+    so even at 100 TB the collected state is KBs. Graphs above the
+    gate keep the distributed loop (``driver_gate=0`` forces it)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -141,6 +169,47 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("wn"))
         .persist()
     )
+    # Gate via limit(gate+1): when the graph fits, this IS the full edge
+    # list (limit of a ≤gate-row relation returns every row), so the
+    # gate check and the collect are ONE action instead of count+collect.
+    erows = enorm.limit(driver_gate + 1).collect()
+    if len(erows) <= driver_gate:
+        # Driver replay of the 3 iterations (see docstring): one collect
+        # of the ≤|nations|² normalized edge list replaces ~45 tiny
+        # Spark jobs. Arithmetic is the distributed loop's, op for op.
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
+        nodes_l = sorted({r["src"] for r in erows} | {r["dst"] for r in erows})
+        srcs = {r["src"] for r in erows}
+        n = len(nodes_l)
+        q12 = Decimal("1e-12")
+        with localcontext() as ctx:
+            ctx.prec = 60
+
+            def dec12(x: float) -> Decimal:
+                # Spark Cast(double → DECIMAL(38,12)): shortest decimal
+                # repr, then HALF_UP at 12 fractional digits.
+                return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+
+            rank = {nd: 1.0 / n for nd in nodes_l}
+            for _ in range(_N_ITER):
+                inflow_sum: dict = {}
+                for r in erows:
+                    term = dec12(rank[r["src"]] * r["wn"])
+                    inflow_sum[r["dst"]] = inflow_sum.get(r["dst"], Decimal(0)) + term
+                dang_terms = [dec12(rank[nd]) for nd in nodes_l if nd not in srcs]
+                dm = float(sum(dang_terms, Decimal(0))) if dang_terms else 0.0
+                inflow = {d: float(s) for d, s in inflow_sum.items()}
+                rank = {
+                    nd: _TELEPORT / n
+                    + _DAMP * (inflow.get(nd, 0.0) + dm / n)
+                    for nd in nodes_l
+                }
+        edges.unpersist()
+        enorm.unpersist()
+        return spark.createDataFrame(
+            [(nd, rank[nd]) for nd in nodes_l], "nation string, pagerank double"
+        )
+
     nodes = (
         edges.select(F.col("src").alias("nation"))
         .union(edges.select(F.col("dst").alias("nation")))
