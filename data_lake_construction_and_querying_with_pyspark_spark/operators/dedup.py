@@ -209,27 +209,57 @@ def ngram_jaccard_pairs(
     inv = _explode_shingles(sh).withColumnRenamed("s", "shingle")
     if max_df is None:
         sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        pairs = (
+            inv.alias("a")
+            .join(inv.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     else:
         from pyspark import StorageLevel
 
-        # Persisted: feeds the df count, per-doc sizes, and both sides
-        # of the candidate self-join.
-        inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
-        cold = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
+        # r11 (guide §2.4 "remove shuffles outright"): POSTING-LIST pair
+        # generation. One groupBy(shingle) builds the sorted doc-id
+        # posting list per shingle; the df cap is a length filter on it;
+        # candidate pairs are a pure projection exploding each list's
+        # ordered combinations. This replaces the old df-count aggregate
+        # + string-keyed prune join + string-keyed self-join — three
+        # exchanges of ~45-byte shingle keys collapse into one, and the
+        # per-doc sizes fall out of the same persisted posting table.
+        # Values are identical: each surviving shingle contributes each
+        # ordered (doc_a < doc_b) pair exactly once (posting lists are
+        # sorted, per-doc shingles distinct), which is precisely the
+        # self-join's multiset; the threshold arithmetic is untouched.
+        # Memory: a posting list is capped at max_df ids (8·max_df
+        # bytes), so rows stay bounded at any corpus size.
+        posting = inv.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
         )
-        inv = inv.join(cold, "shingle")
-        sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        # Persisted: feeds both the pair explode and the per-doc sizes.
+        keep = posting.filter(F.size("ds") <= max_df).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sizes = (
+            keep.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        ds = F.col("ds")
+        pair_structs = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(ds)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        pairs = (
+            keep.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.toDF("doc_a", "n_a")
     sb = sizes.toDF("doc_b", "n_b")
     union = F.col("n_a") + F.col("n_b") - F.col("inter")
@@ -1165,7 +1195,10 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-K shingle relaxation is the standard distributed
     trade-off (longer repeats appear as merged runs of K-grams, which
     the island merge reconstitutes)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r11: fan the doc scan out so tokenize + positional explode run on
+    # every core instead of inside the single scan task feeding the
+    # span-keyed exchange (guarded no-op at lake scale).
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toked = docs.select("doc_id", _toks().alias("toks"))
     n = F.size("toks")
     starts = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(

@@ -57,7 +57,10 @@ from pyspark.sql.types import (
 )
 
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
-from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
+    fan_out_small_scan,
+    load_table,
+)
 
 N_MERGES = 6
 
@@ -75,7 +78,9 @@ _MERGES_SCHEMA = StructType(
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-word frequency table with marker-wrapped char sequences —
     the one corpus-sized stage; everything after runs at vocabulary size."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r11: fan the doc scan out so word explode + partial agg run on
+    # every core (guarded no-op at lake scale): fan_out_small_scan.
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     words = (
         docs.select(
             F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word")
