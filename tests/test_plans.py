@@ -447,11 +447,18 @@ def test_bpe_stage_plans(spark):
 
     wf = _word_freq(spark, SF_SMOKE)
     wf_plan = _plan(wf)
-    assert wf_plan.count("Exchange") == 1, wf_plan
+    # ONE required (ENSURE_REQUIREMENTS) exchange — the word hash-agg.
+    # The r11 guarded scan fan-out may add a REPARTITION_BY_NUM exchange
+    # right above the scan on small inputs (fan_out_small_scan: no-op at
+    # lake scale); it must never add a second required shuffle.
+    assert wf_plan.count("ENSURE_REQUIREMENTS") == 1, wf_plan
+    assert wf_plan.count("Exchange") - wf_plan.count("REPARTITION_BY_NUM") == 1, wf_plan
     assert "partial_count" in wf_plan, wf_plan
 
     pc_plan = _plan(_pair_counts(wf))
-    assert pc_plan.count("Exchange") == 2, pc_plan  # word-freq + pair agg
+    # word-freq + pair agg (+ the optional fan-out repartition)
+    assert pc_plan.count("ENSURE_REQUIREMENTS") == 2, pc_plan
+    assert pc_plan.count("Exchange") - pc_plan.count("REPARTITION_BY_NUM") == 2, pc_plan
     assert "partial_sum" in pc_plan, pc_plan
     assert pc_plan.count("Scan parquet") == 1, pc_plan  # corpus read once
 
