@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 from data_lake_construction_and_querying_with_pyspark_spark.registry import register
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
     fan_out_small_scan,
+    input_bytes,
     load_table,
+    tag_like,
 )
 
 # --- shared shingling expressions --------------------------------------------
@@ -179,8 +181,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_MAX_DF = 1000
 
 
+_POSTING_PREPRUNE_BYTES = 8 * 1024**3  # pre-prune hot shingles above 8 GiB of docs
+
+
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    prune_first: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs with word-3-gram Jaccard ≥ 0.8 over an inverted
     index, with optional document-frequency pruning.
@@ -204,9 +212,26 @@ def ngram_jaccard_pairs(
     why the registered query (cap 1000, fixture max df ≈ 9) matches
     the unpruned brute-force oracle.
 
-    ``max_df=None`` skips the df-count aggregate entirely."""
+    ``max_df=None`` skips the df-count aggregate entirely.
+
+    ``prune_first`` (r12, ADVICE r11 #1): the posting-list aggregate's
+    per-shingle buffer is ``8·df`` bytes BEFORE the ``size ≤ max_df``
+    filter can drop it — a corpus-wide boilerplate shingle in a ~1e9-doc
+    corpus would build one ~8 GB ``collect_list`` buffer and OOM the
+    executor. Above the byte gate (default 8 GiB of document bytes,
+    where a worst-case single-shingle buffer crosses ~32 MB) a
+    constant-space df-count aggregate + co-partitioned semi-join drops
+    hot shingles BEFORE the list is built; the join output keeps the
+    shingle partitioning, so the posting aggregate itself adds no
+    exchange. Below the gate the r11 single-exchange shape is kept.
+    Values are identical either way: both paths keep exactly the
+    shingles with df ≤ max_df (pinned by tests/test_dedup_pruning.py).
+    """
     sh = shingle_docs(spark, sf_dir)
     inv = _explode_shingles(sh).withColumnRenamed("s", "shingle")
+    if max_df is not None and prune_first is None:
+        docs_bytes = input_bytes(load_table(spark, sf_dir, "documents"))
+        prune_first = docs_bytes > _POSTING_PREPRUNE_BYTES
     if max_df is None:
         sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
         pairs = (
@@ -233,17 +258,40 @@ def ngram_jaccard_pairs(
         # self-join's multiset; the threshold arithmetic is untouched.
         # Memory: a posting list is capped at max_df ids (8·max_df
         # bytes), so rows stay bounded at any corpus size.
-        posting = inv.groupBy("shingle").agg(
+        if prune_first:
+            # Scale path (ADVICE r11 #1): constant-space df counts drop
+            # hot shingles BEFORE any posting list is built; the inner
+            # join is co-partitioned with the aggregate that follows,
+            # so the posting build still sees one shingle exchange of
+            # the (now pruned) index.
+            df_ok = (
+                inv.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df)
+                .select("shingle")
+            )
+            src = inv.join(df_ok, "shingle")
+        else:
+            src = inv
+        posting = src.groupBy("shingle").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ds")
         )
         # Persisted: feeds both the pair explode and the per-doc sizes.
+        # (The size filter is a no-op after a pre-prune — kept so both
+        # paths share one plan tail.)
         keep = posting.filter(F.size("ds") <= max_df).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # Persisted too (r12): `sizes` feeds BOTH side tables of the
+        # threshold join (sa and sb below); as a live subtree the
+        # explode+aggregate ran once per side — the before-plan shows
+        # two identical HashAggregate(doc_id) subtrees under the two
+        # BroadcastExchanges. n_docs rows — driver-trivial to cache.
         sizes = (
             keep.select(F.explode("ds").alias("doc_id"))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         ds = F.col("ds")
         pair_structs = F.flatten(
@@ -763,16 +811,15 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_vec,
     )
 
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
-    )
+    raw = load_table(spark, sf_dir, "embeddings")
+    base = raw.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
     clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
         (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     return embedding_cosine_pairs_scaled(
         spark,
-        base.unionByName(clones),
+        tag_like(base.unionByName(clones), raw),
         tau=_SCALED_TAU,
         n_tables=_SCALED_TABLES,
         n_planes=_SCALED_PLANES,
@@ -822,12 +869,17 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Gate via limit(gate+1): when the edge list fits, this IS the full
-    # list (limit of a ≤gate-row relation returns every row), so gate
-    # check + collect are ONE Spark action instead of count + collect
-    # (r11; the pagerank driver gate uses the same trick).
-    raw_rows = raw.limit(driver_gate + 1).collect()
-    if len(raw_rows) <= driver_gate:
+    # Gate via limit(gate+1).count(): the count of the limited relation
+    # decides the branch WITHOUT shipping rows — r11's single-action
+    # limit(gate+1).collect() shipped gate+1 edge Rows (~hundreds of MB
+    # of Python Row objects at the 1M default) to the driver just to
+    # DISCARD them whenever the graph exceeded the gate (ADVICE r11 #2).
+    # The count aggregates executor-side; the collect below then reads
+    # the already-persisted edges, so the fitting branch costs one extra
+    # tiny job on cached data and the over-gate branch ships nothing.
+    n_probe = raw.limit(driver_gate + 1).count()
+    if n_probe <= driver_gate:
+        raw_rows = raw.collect()
         # Union-find needs neither symmetrization nor dedup — process
         # the raw edges straight off the cache.
         parent: dict = {}

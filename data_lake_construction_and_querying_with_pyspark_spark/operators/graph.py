@@ -132,7 +132,14 @@ def pagerank_trade_network(
       ``Decimal(repr(x)).quantize(1e-12, HALF_UP)`` is the same
       construction (repr is the same shortest round-trip string) —
       verified exhaustively on 2M random doubles (zero mismatches,
-      both cast directions; OPTIMIZATION_r11.md).
+      both cast directions; OPTIMIZATION_r11.md). JDK sensitivity
+      (r12, ADVICE r11 #4): the repr↔Double.toString agreement was
+      sampled on JDK17, and Double.toString switched algorithms (Ryū)
+      in JDK19 — both still emit the shortest round-trip decimal, but
+      the equality is additionally PINNED on the fixture by
+      tests/test_retrieval_graph.py's gated-vs-distributed bitwise
+      test, which fails loudly on any runtime whose formatting
+      diverges near a HALF_UP boundary.
     * Decimal sums are exact in both engines (context precision 60
       here, far above the 38-digit type).
 

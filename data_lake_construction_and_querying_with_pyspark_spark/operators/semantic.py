@@ -330,6 +330,75 @@ def _d2_pre(vsq, v, cent, csq) -> F.Column:
 
 SHUFFLED_ASSIGN_SALT = 32  # salt fan-out for the shuffled acell join (replicates only the k-row centroid side)
 
+# Driver-side anchor bucketing engages while k·m·dim stays under this
+# op budget (pure-Python sequential folds, ~0.5 s at the cap; sf-scale
+# corpora are ~10⁴ ops, the 100k rung ~4M). Above it the distributed
+# bucketing subtree runs unchanged.
+_DRIVER_BUCKET_OPS = 2_000_000
+
+# Single-collect seed selection while k stays driver-trivial with
+# vectors attached (~2 MB at dim 64); the two-pass id-then-filter shape
+# handles everything larger (see _seed_centroids).
+_SEED_COLLECT_GATE_K = 4096
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Python replay of :func:`similarity.dot`'s sequential left fold —
+    ``acc = (…((0.0 + a₀b₀) + a₁b₁)…)``. Python floats are IEEE
+    doubles and each ``*``/``+`` is one correctly-rounded op, so the
+    result is BIT-IDENTICAL to the interpreted Spark fold on the same
+    values (the PageRank driver gate's argument; pinned by
+    tests/test_semantic.py's gate-equality test)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _driver_anchor_buckets(rows: list, m: int):
+    """Anchors and centroid→anchor bucketing computed on the DRIVER
+    from the materialized centroid rows (r12; guide §1.2/§5 —
+    vocabulary-sized state). Returns (aarr_rows, bucketed_rows) where
+    aarr_rows = [(acell, acent, asq)] sorted by acell (the collect_list
+    + array_sort the distributed subtree produced) and bucketed_rows =
+    [(cell, cent, csq, acell)] replicating
+    ``anchor_scores(cent, csq)[0]['acell']`` — the lexicographic
+    (d2, acell) argmin with d2 = (csq − 2·⟨c,a⟩) + asq, every dot the
+    same sequential fold (:func:`_seq_dot`), every add/sub in the same
+    order. Spark's struct ordering and Python tuple comparison agree on
+    doubles here (both treat -0.0 == 0.0; no NaNs can arise from finite
+    embeddings), so the argmin ties break identically."""
+    by_cell = sorted(rows, key=lambda r: r[0])
+    anchors = [
+        (int(cell), list(cent), _seq_dot(cent, cent)) for cell, cent in by_cell[:m]
+    ]
+    bucketed = []
+    for cell, cent in rows:
+        csq = _seq_dot(cent, cent)
+        best = min(
+            ((csq - 2 * _seq_dot(cent, acent)) + asq, acell)
+            for acell, acent, asq in anchors
+        )
+        bucketed.append((int(cell), list(cent), csq, best[1]))
+    return anchors, bucketed
+
+
+def _anchor_array_literal(anchors: list) -> F.Column:
+    """The broadcast anchor array as a LITERAL column — the exact
+    (acell, acent, asq) structs ``aarr`` held, so the per-vector probe
+    projection needs no crossJoin, no broadcast exchange, and no
+    collect_list job. m·(dim+2) literal nodes — driver-gate-bounded."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(acell).alias("acell"),
+                F.array(*[F.lit(x) for x in acent]).alias("acent"),
+                F.lit(asq).alias("asq"),
+            )
+            for acell, acent, asq in anchors
+        ]
+    )
+
 
 def shortlist_assign(
     base: DataFrame,
@@ -393,25 +462,13 @@ def shortlist_assign(
     # the bucketed-centroid table (csq, k folds once) so every d2 below
     # — n·m anchor probes plus n·nprobe·(k/m) shortlist scores — costs
     # ONE fold instead of three. Values are bit-identical (_d2_pre).
-    anchors = (
-        centroids.orderBy("cell")
-        .limit(m)
-        .select(
-            F.col("cell").alias("acell"),
-            F.col("cent").alias("acent"),
-            dot("cent", "cent").alias("asq"),
-        )
-    )
-    aarr = anchors.agg(
-        F.array_sort(F.collect_list(F.struct("acell", "acent", "asq"))).alias("aarr")
-    )
 
-    def anchor_scores(v, vsq) -> F.Column:
+    def anchor_scores(aarr_expr, v, vsq) -> F.Column:
         # sorted (d2, acell) structs — lexicographic struct ordering IS
         # the oracle's ORDER BY d2, acell
         return F.array_sort(
             F.transform(
-                F.col("aarr"),
+                aarr_expr,
                 lambda a: F.struct(
                     _d2_pre(vsq, v, a["acent"], a["asq"]).alias("d2"),
                     a["acell"].alias("acell"),
@@ -419,26 +476,72 @@ def shortlist_assign(
             )
         )
 
-    bucketed = (
-        centroids.withColumn("csq", dot("cent", "cent"))
-        .crossJoin(F.broadcast(aarr))
-        .select(
-            "cell",
-            "cent",
-            "csq",
-            anchor_scores(F.col("cent"), F.col("csq"))[0]["acell"].alias("acell"),
+    # r12 (guide §1.2/§5): `centroids` is driver state between
+    # iterations (_materialize_centroids), so the anchor table and the
+    # centroid→anchor bucketing — pure functions of it — are computed
+    # on the DRIVER while k·m·dim fits the op budget: the anchor array
+    # becomes a literal in the probe projection (no crossJoin, no
+    # broadcast exchange, no collect_list job) and the bucketed table a
+    # local relation whose broadcast build runs without a job. Plan
+    # effect at sf0.1: ~2 jobs + 2 broadcast subtrees fewer per Lloyd's
+    # iteration; values bit-identical (_driver_anchor_buckets) and
+    # pinned by the gate-equality test. Centroid tables without
+    # materialized rows (or above the budget) keep the r11 distributed
+    # subtree unchanged.
+    rows = getattr(centroids, "_centroid_rows", None)
+    dim = len(rows[0][1]) if rows else 0
+    if rows is not None and len(rows) * max(m, 1) * max(dim, 1) <= _DRIVER_BUCKET_OPS:
+        anchor_rows, bucketed_rows = _driver_anchor_buckets(rows, m)
+        aarr_expr = _anchor_array_literal(anchor_rows)
+        bucketed = centroids.sparkSession.createDataFrame(
+            bucketed_rows, "cell int, cent array<double>, csq double, acell int"
         )
-    )
-    probed = (
-        base.crossJoin(F.broadcast(aarr))
-        .select(
-            "vec_id",
-            "v",
-            "vsq",
-            F.explode(F.slice(anchor_scores(F.col("v"), F.col("vsq")), 1, nprobe)).alias("p"),
+        probed = (
+            base.select(
+                "vec_id",
+                "v",
+                "vsq",
+                F.explode(
+                    F.slice(anchor_scores(aarr_expr, F.col("v"), F.col("vsq")), 1, nprobe)
+                ).alias("p"),
+            )
+            .select("vec_id", "v", "vsq", F.col("p.acell").alias("acell"))
         )
-        .select("vec_id", "v", "vsq", F.col("p.acell").alias("acell"))
-    )
+    else:
+        anchors = (
+            centroids.orderBy("cell")
+            .limit(m)
+            .select(
+                F.col("cell").alias("acell"),
+                F.col("cent").alias("acent"),
+                dot("cent", "cent").alias("asq"),
+            )
+        )
+        aarr = anchors.agg(
+            F.array_sort(F.collect_list(F.struct("acell", "acent", "asq"))).alias("aarr")
+        )
+        bucketed = (
+            centroids.withColumn("csq", dot("cent", "cent"))
+            .crossJoin(F.broadcast(aarr))
+            .select(
+                "cell",
+                "cent",
+                "csq",
+                anchor_scores(F.col("aarr"), F.col("cent"), F.col("csq"))[0]["acell"].alias("acell"),
+            )
+        )
+        probed = (
+            base.crossJoin(F.broadcast(aarr))
+            .select(
+                "vec_id",
+                "v",
+                "vsq",
+                F.explode(
+                    F.slice(anchor_scores(F.col("aarr"), F.col("v"), F.col("vsq")), 1, nprobe)
+                ).alias("p"),
+            )
+            .select("vec_id", "v", "vsq", F.col("p.acell").alias("acell"))
+        )
     best = F.min_by(F.struct("cell", "v", "vsq"), F.struct("d2", "cell")).alias("b")
     if broadcast_buckets:
         joined = probed.join(F.broadcast(bucketed), "acell")
@@ -492,10 +595,15 @@ def _materialize_centroids(spark: SparkSession, centroids: DataFrame) -> DataFra
     3-pass algorithm into a 6-pass plan). Python floats round-trip
     doubles exactly, so materialization cannot perturb determinism."""
     rows = centroids.collect()
-    return spark.createDataFrame(
-        [(int(r["cell"]), [float(x) for x in r["cent"]]) for r in rows],
-        "cell int, cent array<double>",
-    )
+    data = [(int(r["cell"]), [float(x) for x in r["cent"]]) for r in rows]
+    out = spark.createDataFrame(data, "cell int, cent array<double>")
+    # r12: keep the collected values WITH the frame — shortlist_assign
+    # derives its anchor table and centroid bucketing from them on the
+    # driver (pure functions of this k·dim state; see
+    # _driver_anchor_buckets) instead of re-aggregating the local
+    # relation on executors every iteration.
+    out._centroid_rows = data
+    return out
 
 
 def semantic_dedup(
@@ -596,7 +704,24 @@ def _seed_centroids(spark: SparkSession, base: DataFrame, k: int) -> DataFrame:
     pass finds the exact k-th smallest vec_id (ids are unique), the
     wide pass is a plain filter; selected rows and numbering are
     value-identical to the one-pass form, so every oracle is
-    untouched."""
+    untouched.
+
+    r12 driver gate: when k is small enough that the TakeOrdered merge
+    holds only driver-trivial state even with vectors attached
+    (k ≤ 4096 — ~2 MB of 64-dim doubles per contributing partition),
+    ONE wide ``orderBy(vec_id).limit(k)`` collect replaces the two-pass
+    chain's two jobs (cutoff action + windowed collect). Selected rows
+    and the 0..k-1 numbering are identical by construction: both forms
+    pick the k lowest unique vec_ids and number them in ascending
+    vec_id order; the collected doubles round-trip exactly. The
+    two-pass path stays for large k (the r8 OOM regime)."""
+    if k <= _SEED_COLLECT_GATE_K:
+        seed_rows = base.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
+        seed_rows.sort(key=lambda r: r["vec_id"])
+        data = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+        out = spark.createDataFrame(data, "cell int, cent array<double>")
+        out._centroid_rows = data
+        return out
     id_topk = base.select("vec_id").orderBy("vec_id").limit(k)
     cutoff_row = id_topk.agg(F.max("vec_id").alias("c")).first()
     cutoff = cutoff_row["c"] if cutoff_row else None

@@ -20,6 +20,7 @@ from data_lake_construction_and_querying_with_pyspark_spark.registry import regi
 from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import (
     fan_out_small_scan,
     load_table,
+    tag_like,
 )
 
 _N_QUERIES = 5  # vec_id < 5 are the demo query vectors
@@ -441,18 +442,19 @@ def knn_graph_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
-    )
+    raw = load_table(spark, sf_dir, "embeddings")
+    base = raw.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
     clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
         (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     # r11: fan the unioned corpus out before the norm/LSH folds
     # (guarded no-op at lake scale — fan_out_small_scan docstring).
-    e = with_norm(fan_out_small_scan(base.unionByName(clones), "vec_id")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # tag_like: the union derives from the embeddings scan, so the
+    # guard decides from its file metadata (r12 — no plan probe).
+    e = with_norm(
+        fan_out_small_scan(tag_like(base.unionByName(clones), raw), "vec_id")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     scored = _bucket_scored_candidates(e, _SCALED_TABLES, _SCALED_PLANES)
     best = F.max_by(
         F.struct("nbr_id", "cosine"), F.struct(F.col("cosine"), (-F.col("nbr_id")).alias("neg"))
@@ -598,16 +600,15 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCALED_TABLES,
     )
 
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
-    )
+    raw = load_table(spark, sf_dir, "embeddings")
+    base = raw.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
     clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
         (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     return knn_graph_edges(
         spark,
-        base.unionByName(clones),
+        tag_like(base.unionByName(clones), raw),
         k=_GRAPH_TOP_K,
         n_tables=_SCALED_TABLES,
         n_planes=_SCALED_PLANES,
@@ -1554,16 +1555,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCALED_TAU,
     )
 
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("embedding")
-    )
+    raw = load_table(spark, sf_dir, "embeddings")
+    base = raw.select("vec_id", as_double_vec(F.col("embedding")).alias("embedding"))
     clones = base.filter(F.col("vec_id") % _CLONE_MOD == 0).select(
         (F.col("vec_id") + F.lit(_CLONE_OFF)).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
     )
     return hard_negative_triplets(
         spark,
-        base.unionByName(clones),
+        tag_like(base.unionByName(clones), raw),
         tau=_SCALED_TAU,
         n_tables=_SCALED_TABLES,
         n_planes=_SCALED_PLANES,

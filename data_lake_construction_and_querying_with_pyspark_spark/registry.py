@@ -95,63 +95,69 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Everything outside the window stays pinned locally by
 # tests/test_queries_oracle.py, which checks ALL entries every run.
 _CHECKED_WINDOW_FIRST: tuple[str, ...] = (
-    # -- r8-aged, contract edge this round (r11): all 39 --
-    "bm25_topk_documents",
-    "boilerplate_token_scrub",
-    "conditional_agg_status_revenue",
-    "corpus_prep_pipeline",
-    "cte_top_revenue_nations",
-    "cube_flags",
-    "dedup_exact_documents",
-    "dedup_fingerprint_documents",
+    # Round-12 rotation. -- r9-aged, contract edge this round: all 41
+    # (every oracle entry whose latest driver row is r9 — 2 rounds old
+    # at start of r12, stale at its end if left out) --
+    "acid_change_feed",
+    "acid_delete_data_skipping",
+    "acid_orders_lifecycle",
+    "asof_latest_order_per_event",
+    "corr_quantity_price_exact",
+    "customer_order_distribution_q13",
+    "decontamination_overlap",
+    "dedup_canonical_corpus",
+    "dedup_canonical_corpus_embeddings",
+    "deterministic_shuffle",
+    "disjunctive_predicates_q19",
+    "doc_repetition_signals",
+    "dominant_supplier_q20",
+    "event_transition_counts",
+    "events_click_purchase_pairs",
+    "events_cusum_drift",
+    "events_hourly_rollup",
+    "flagship_between",
+    "forecast_revenue_q6",
+    "histogram_order_totalprice",
+    "join_fact_fact_revenue",
+    "knn_pq_adc",
+    "large_volume_customers_q18",
+    "late_shipper_q21",
+    "lm_perplexity_buckets",
+    "order_priority_checking_q4",
+    "parts_supplier_counts_q16",
+    "pii_anonymize_customers",
+    "promo_revenue_share_q14",
+    "returned_item_reporting_q10",
+    "sales_opportunity_q22",
+    "shipping_latency_priority_q12",
+    "small_quantity_revenue_q17",
+    "source_mix_temperature_draw",
+    "table_profile_events",
+    "text_fingerprints",
+    "text_quality_scores",
+    "text_token_stats",
+    "top_supplier_q15",
+    "train_val_test_split",
+    "unpivot_lineitem_measures",
+    # -- r11-rewritten paths the driver has not seen on their new code
+    # (VERDICT r11 Next-round #2: rotated out in 121852d BEFORE the
+    # rewrites landed) --
+    "pagerank_trade_network",
+    "dedup_cluster_assignment",
+    "semantic_dedup_embeddings",
+    "dedup_embedding_cosine_pairs",
+    "dedup_repeated_spans",
+    "pricing_summary",
+    # -- operators MODIFIED this round (r12): posting-list pre-prune +
+    # persisted sizes (jaccard kernel), driver-side anchor bucketing +
+    # seed collect gate (shortlist kernel — also covered above via
+    # semantic_dedup_embeddings), corpus-quality scan fan-out. The
+    # remaining shortlist consumers (knn_ivf_*, knn_pq_adc via the
+    # forced list, hard_negative_mining) ride the same kernel; those
+    # not in this window are r11-green and forced into r13's. --
     "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_hamming_pairs",
-    "dedup_simhash_signatures",
-    "expectations_orders",
-    "filter_project_pushdown",
-    "gopher_quality_filters",
-    "grouping_sets_priority_status",
-    "join_anti_customers_no_orders",
-    "join_broadcast_chain",
-    "join_key_skew_profile",
-    "join_outer_customer_orders",
-    "join_semi_customers_with_f_orders",
-    "json_extract_events",
-    "knn_ivf_deterministic",
-    "local_supplier_volume_q5",
-    "map_functions_pack",
-    "market_share_q8",
-    "math_functions_pack",
-    "null_handling_pack",
-    "outlier_orders_zscore",
-    "pivot_status_counts",
-    "rollup_region_nation",
-    "segment_stats",
-    "shipping_priority_q3",
-    "snapshot_diff_orders",
-    "text_regex_token_count",
-    "tfidf_top_terms_per_doc",
-    "topk_global_orders",
-    "unigram_rarity_scores",
-    "window_running_total",
-    "window_topk_per_customer",
-    # -- operators MODIFIED this round (partitioned rerank window,
-    # loud prefix-overflow guard): driver must see the new code --
-    "rerank_bm25_candidates",
-    "dsir_resample_draw",
-    # -- NEW registrations this round (deterministic md5-threshold
-    # sampling twins, VERDICT r10 What's-missing #2): first exposure --
-    "tablesample_orders_hashed",
-    "stratified_sample_orders_hashed",
-    # -- r9-aged re-verification picks (7 of 48, complexity-first;
-    # the 41 left out keep green r9 rows and form r12's must-set) --
-    "dedup_minhash_near_dup",
     "semantic_dedup_sampled",
-    "bpe_learn_merges",
-    "knn_ivf_pq",
-    "hard_negative_mining",
-    "dsir_importance_weights",
-    "knn_graph_topk",
+    "gopher_quality_filters",
 )
 
 

@@ -173,10 +173,35 @@ def read_lake(spark: SparkSession, path: str, fmt: str, **kwargs) -> DataFrame:
     return reader(spark, path, **kwargs)
 
 
+# (appId, sf_dir, name) -> analyzed DataFrame. This memoizes the PLAN
+# OBJECT, never data: a DataFrame is an immutable logical plan + schema,
+# so handing the same instance to every query builder is exactly what a
+# catalog-backed `spark.table(name)` would do (schema known once, no
+# per-query parquet-footer read). Measured r12: each `spark.read.parquet`
+# costs ~20-50 ms of driver time (py4j + footer + analysis) and the
+# 23-query bench constructs ~60 table scans per pass — ~2 s of pure
+# plan-construction overhead inside the timed region (guide §7.3
+# "planning time itself can become the bottleneck"). Every action on the
+# returned frame still scans parquet; nothing about RESULTS is cached.
+# Keyed on applicationId so a restarted session can't resurrect stale
+# JVM references.
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver test table (events gets its ns-timestamp fix)."""
-    path = f"{sf_dir}/{name}.parquet"
-    return read_events(spark, path) if name == "events" else spark.read.parquet(path)
+    """Load one driver test table (events gets its ns-timestamp fix).
+
+    The analyzed plan is memoized per (session, sf_dir, table) — see
+    ``_TABLE_PLAN_CACHE``; the parquet data is re-scanned by every
+    action as always."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_PLAN_CACHE.get(key)
+    if df is None:
+        path = f"{sf_dir}/{name}.parquet"
+        df = read_events(spark, path) if name == "events" else spark.read.parquet(path)
+        df._lake_scan_paths = (path,)  # consumed by fan_out_small_scan's guard
+        _TABLE_PLAN_CACHE[key] = df
+    return df
 
 
 def fan_out_small_scan(df: DataFrame, *keys: str) -> DataFrame:
@@ -205,14 +230,84 @@ def fan_out_small_scan(df: DataFrame, *keys: str) -> DataFrame:
 
     Values are unaffected by construction: every registered operator is
     partitioning-independent per the registry's determinism contract
-    (exact decimal sums, keyed equi-joins, total-order tie-breaks)."""
+    (exact decimal sums, keyed equi-joins, total-order tie-breaks).
+
+    Guard cost (r12, ADVICE r11 #5): the r11 guard called
+    ``df.rdd.getNumPartitions()``, which forces full physical planning
+    and RDD conversion of the subtree at query-CONSTRUCTION time —
+    ~0.1-0.3 s per call on derived frames, paid inside every bench
+    timing. Frames produced by :func:`load_table` now carry their scan
+    paths, so the guard reads FILE METADATA instead (cached per
+    session+path): a scan whose file count and byte size can both fill
+    every core is left alone. Only path-less frames (mid-pipeline
+    unions and projections) fall back to the physical-plan probe."""
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    paths = getattr(df, "_lake_scan_paths", None)
+    small = scan_paths_are_small(spark, paths) if paths else None
+    if small is None:
+        small = df.rdd.getNumPartitions() < parallelism
+    if not small:
         return df
     from pyspark.sql import functions as F
 
     return df.repartition(parallelism, *[F.col(k) for k in keys])
+
+
+def tag_like(df: DataFrame, src: DataFrame) -> DataFrame:
+    """Propagate ``src``'s scan-path metadata (set by :func:`load_table`)
+    onto a frame DERIVED from it — unions with clone rows, projections —
+    so :func:`fan_out_small_scan`'s guard stays metadata-based for such
+    frames instead of falling back to the physical-plan probe. The
+    derived frame's partition count IS the scan's (narrow lineage), so
+    the decision is unchanged."""
+    paths = getattr(src, "_lake_scan_paths", None)
+    if paths is not None:
+        df._lake_scan_paths = paths
+    return df
+
+
+# (appId, paths, parallelism) -> bool; file metadata is immutable for
+# the read-only test corpora, and a changed session gets a fresh key.
+_SMALL_SCAN_CACHE: dict[tuple, bool] = {}
+
+
+def scan_paths_are_small(spark: SparkSession, paths: tuple[str, ...]) -> bool | None:
+    """True when a parquet scan over ``paths`` cannot fill every core:
+    fewer files than ``defaultParallelism`` AND fewer total bytes than
+    ``defaultParallelism × maxPartitionBytes`` (each condition alone
+    guarantees ≥ cores scan splits at production scale, so this is a
+    no-op there — same decision the ``df.rdd`` probe made, without the
+    physical planning). Local filesystem only; returns None (unknown)
+    for remote URIs so the caller can fall back."""
+    import os as _os
+
+    sc = spark.sparkContext
+    key = (sc.applicationId, paths, sc.defaultParallelism)
+    if key in _SMALL_SCAN_CACHE:
+        return _SMALL_SCAN_CACHE[key]
+    n_files = 0
+    total = 0
+    for p in paths:
+        if "://" in p and not p.startswith("file://"):
+            return None
+        # file:///abs/path strips to /abs/path; plain paths pass through
+        local = p.split("://", 1)[1] if p.startswith("file://") else p
+        if _os.path.isdir(local):
+            for entry in _os.scandir(local):
+                if entry.is_file() and not entry.name.startswith(("_", ".")):
+                    n_files += 1
+                    total += entry.stat().st_size
+        elif _os.path.isfile(local):
+            n_files += 1
+            total += _os.path.getsize(local)
+        else:
+            return None
+    max_pb = int("".join(ch for ch in spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728") if ch.isdigit()) or "134217728")
+    par = sc.defaultParallelism
+    small = n_files < par and total < par * max_pb
+    _SMALL_SCAN_CACHE[key] = small
+    return small
 
 
 def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -103,3 +103,17 @@ def test_repeated_spans_plan_has_explicit_span_repartition(spark):
 
     hits = re.findall(r"RepartitionByExpression \[s#\d+\], (\d+)", opt)
     assert hits and all(int(h) == par for h in hits), opt
+
+
+def test_preprune_path_equals_posting_path(spark):
+    """r12 (ADVICE r11 #1): the scale path — constant-space df-count
+    semi-join BEFORE the posting-list aggregate — must produce the
+    identical pair set and jaccard values as the direct posting build
+    whose size filter prunes after aggregation. max_df=3 makes the cap
+    genuinely bind (fixture shingles reach df ≈ 9), so both pruning
+    mechanisms are exercised, not just bypassed."""
+    direct = _rows(ngram_jaccard_pairs(spark, SF_SMOKE, max_df=3, prune_first=False))
+    pre = _rows(ngram_jaccard_pairs(spark, SF_SMOKE, max_df=3, prune_first=True))
+    assert direct == pre
+    default = _rows(ngram_jaccard_pairs(spark, SF_SMOKE, max_df=_NGRAM_MAX_DF, prune_first=True))
+    assert default == _rows(dedup_ngram_jaccard_pairs(spark, SF_SMOKE))

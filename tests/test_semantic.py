@@ -161,3 +161,47 @@ def test_shortlist_assign_recovers_planted_dups_like_flat(spark):
     assert short_rec >= flat_rec - 1, (
         f"shortlist recovered {short_rec}, flat {flat_rec}, of {len(planted)} planted"
     )
+
+
+def test_driver_bucketing_matches_distributed_subtree(spark, monkeypatch):
+    """r12: shortlist_assign's driver-side anchor/bucket computation
+    (_driver_anchor_buckets — pure-Python sequential folds + literal
+    anchor array) must be BITWISE identical to the distributed subtree
+    it replaces. Forcing the op budget to 0 disables the driver path;
+    the two full semantic_dedup outputs must agree exactly, floats
+    included (struct.pack comparison, the PageRank gate-test pattern).
+    The seed driver gate is forced off in the distributed leg too, so
+    BOTH r12 gates are covered by one equality."""
+    import struct
+
+    import data_lake_construction_and_querying_with_pyspark_spark.operators.semantic as sem
+    from data_lake_construction_and_querying_with_pyspark_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k = sem.derive_k(emb.count())
+    gated = {r["vec_id"]: (r["cell_id"], r["is_semantic_dup"])
+             for r in sem.semantic_dedup(spark, emb, k=k).collect()}
+    spark.catalog.clearCache()
+    monkeypatch.setattr(sem, "_DRIVER_BUCKET_OPS", 0)
+    monkeypatch.setattr(sem, "_SEED_COLLECT_GATE_K", 0)
+    dist = {r["vec_id"]: (r["cell_id"], r["is_semantic_dup"])
+            for r in sem.semantic_dedup(spark, emb, k=k).collect()}
+    spark.catalog.clearCache()
+    assert gated == dist and len(gated) > 0
+
+    # and the raw d2/argmin layer: per-vector assigned cells + vsq bits
+    base = sem._with_vsq(
+        emb.select("vec_id", sem.F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    cents = sem._seed_centroids(spark, base, k)
+    m = sem.coarse_m(k)
+    monkeypatch.setattr(sem, "_DRIVER_BUCKET_OPS", sem._DRIVER_BUCKET_OPS or 2_000_000)
+    monkeypatch.undo()
+    a = {r["vec_id"]: (r["cell"], struct.pack("<d", r["vsq"]))
+         for r in sem.shortlist_assign(base, cents, m).collect()}
+    monkeypatch.setattr(sem, "_DRIVER_BUCKET_OPS", 0)
+    b = {r["vec_id"]: (r["cell"], struct.pack("<d", r["vsq"]))
+        for r in sem.shortlist_assign(base, cents, m).collect()}
+    monkeypatch.undo()
+    spark.catalog.clearCache()
+    assert a == b
