@@ -572,9 +572,34 @@ def shortlist_assign(
     )
 
 
-def kmeans_update(assigned: DataFrame) -> DataFrame:
-    """Exact centroid update in long format: per-(cell, pos) decimal
-    mean, reassembled into an ordered array. k·dim groups — tiny."""
+def kmeans_update(assigned: DataFrame, dim: int | None = None) -> DataFrame:
+    """Exact centroid update: per-(cell, position) decimal mean,
+    reassembled into an ordered array. k·dim groups — tiny.
+
+    With ``dim`` known (r12 — it always is when centroids are driver
+    state; see ``_centroid_dim``) the update is ONE wide aggregation:
+    64 per-position ``SUM(CAST(v[i] AS DECIMAL(28,18)))`` columns in a
+    single ``groupBy(cell)`` — one exchange instead of the long-format
+    posexplode's two ((cell,pos) then (cell)), no 64×n exploded rows,
+    and the partials still combine map-side. Values are identical:
+    the same decimal addends per (cell, position) — decimal addition
+    is exact and order-independent — the same single count per cell,
+    and the same cast-to-double division; only the grouping layout
+    changes. ``dim=None`` keeps the long format (callers without
+    driver-resident centroid state)."""
+    if dim:
+        n = F.count(F.lit(1))
+        means = [
+            (F.sum(F.element_at("v", i + 1).cast("decimal(28,18)")).cast("double") / n).alias(
+                f"_m{i}"
+            )
+            for i in range(dim)
+        ]
+        return (
+            assigned.groupBy("cell")
+            .agg(*means)
+            .select("cell", F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("cent"))
+        )
     long = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
     means = long.groupBy("cell", "pos").agg(
         (F.sum(F.col("val").cast("decimal(28,18)")).cast("double") / F.count(F.lit(1))).alias("m")
@@ -584,6 +609,13 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias("cent")
     )
+
+
+def _centroid_dim(centroids: DataFrame) -> int | None:
+    """Vector dimensionality from driver-resident centroid rows
+    (zero Spark work); None when the frame has no materialized rows."""
+    rows = getattr(centroids, "_centroid_rows", None)
+    return len(rows[0][1]) if rows else None
 
 
 def _materialize_centroids(spark: SparkSession, centroids: DataFrame) -> DataFrame:
@@ -645,7 +677,9 @@ def semantic_dedup(
             else shortlist_assign(base, centroids, m, nprobe)
         )
         if t < iters:
-            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+            centroids = _materialize_centroids(
+                spark, kmeans_update(assigned, dim=_centroid_dim(centroids))
+            )
     return mark_within_cell_dups(assigned, tau)
 
 
@@ -827,7 +861,9 @@ def semantic_dedup_sampled(
         assigned_s = shortlist_assign(
             sample, centroids, m, nprobe, broadcast_buckets=broadcast_buckets
         )
-        centroids = _materialize_centroids(spark, kmeans_update(assigned_s))
+        centroids = _materialize_centroids(
+            spark, kmeans_update(assigned_s, dim=_centroid_dim(centroids))
+        )
     final = shortlist_assign(
         base, centroids, m, nprobe, broadcast_buckets=broadcast_buckets
     )
@@ -913,7 +949,9 @@ def knn_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in range(1, IVF_ITERS + 1):
         assigned = shortlist_assign(base, centroids, m, SEM_NPROBE)
         if t < IVF_ITERS:
-            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+            centroids = _materialize_centroids(
+                spark, kmeans_update(assigned, dim=_centroid_dim(centroids))
+            )
     # `centroids` is now the table that produced the final assignment
     # (c_{iters-1}) — probing must use the same one the cells came from.
     # norm = sqrt(vsq): the assignment carried the squared norm through,

@@ -74,6 +74,7 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic i
     SAMPLE_PER_CELL,
     SEM_NPROBE,
     TAU,
+    _centroid_dim,
     _materialize_centroids,
     _seed_centroids,
     coarse_m,
@@ -538,7 +539,9 @@ def semantic_dedup_sampled_vectorized(
             index_shards=index_shards,
             scratch_dir=None if scratch_dir is None else f"{scratch_dir}/iter_{it}",
         )
-        centroids = _materialize_centroids(spark, kmeans_update(assigned_s))
+        centroids = _materialize_centroids(
+            spark, kmeans_update(assigned_s, dim=_centroid_dim(centroids))
+        )
     final = shortlist_assign_vectorized(
         spark, base, centroids, m, nprobe,
         index_shards=index_shards,

@@ -959,6 +959,7 @@ def ivf_pq_topk(
     k-means."""
     from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic import (
         TARGET_CELL,
+        _centroid_dim,
         _materialize_centroids,
         _seed_centroids,
         coarse_m,
@@ -980,7 +981,9 @@ def ivf_pq_topk(
     for t in range(1, IVF_ITERS + 1):
         assigned = shortlist_assign(base, centroids, m, SEM_NPROBE)
         if t < IVF_ITERS:
-            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+            centroids = _materialize_centroids(
+                spark, kmeans_update(assigned, dim=_centroid_dim(centroids))
+            )
     cells = assigned.select("vec_id", "cell")
 
     codebooks = pq_train_codebooks(spark, base)
@@ -1077,6 +1080,7 @@ def ivf_pq_residual_topk(
         IVF_MIN_CELLS,
         SEM_NPROBE,
         TARGET_CELL,
+        _centroid_dim,
         _materialize_centroids,
         _seed_centroids,
         coarse_m,
@@ -1093,7 +1097,9 @@ def ivf_pq_residual_topk(
     for t in range(1, IVF_ITERS + 1):
         assigned = shortlist_assign(base, centroids, m, SEM_NPROBE)
         if t < IVF_ITERS:
-            centroids = _materialize_centroids(spark, kmeans_update(assigned))
+            centroids = _materialize_centroids(
+                spark, kmeans_update(assigned, dim=_centroid_dim(centroids))
+            )
     cells = assigned.select("vec_id", "cell")
 
     # residuals: one broadcast join + zip_with projection on the scan
@@ -1415,6 +1421,7 @@ def hard_negative_triplets_ivf(
         IVF_MIN_CELLS,
         SEM_NPROBE,
         TARGET_CELL,
+        _centroid_dim,
         _materialize_centroids,
         _seed_centroids,
         coarse_m,
@@ -1440,7 +1447,9 @@ def hard_negative_triplets_ivf(
         assigned_t = shortlist_assign(
             train, centroids, m, SEM_NPROBE, broadcast_buckets=broadcast_buckets
         )
-        centroids = _materialize_centroids(spark, kmeans_update(assigned_t))
+        centroids = _materialize_centroids(
+            spark, kmeans_update(assigned_t, dim=_centroid_dim(centroids))
+        )
     assigned = shortlist_assign(
         base, centroids, m, SEM_NPROBE, broadcast_buckets=broadcast_buckets
     )

@@ -54,6 +54,7 @@ from data_lake_construction_and_querying_with_pyspark_spark.operators.semantic i
     IVF_MIN_CELLS,
     SEM_NPROBE,
     TARGET_CELL,
+    _centroid_dim,
     _materialize_centroids,
     _seed_centroids,
     coarse_m,
@@ -394,7 +395,9 @@ def hard_negative_triplets_ivf_vectorized(
     m = coarse_m(k_cells)
     for _ in range(IVF_ITERS - 1):
         assigned_t = shortlist_assign_vectorized(spark, train, centroids, m, SEM_NPROBE)
-        centroids = _materialize_centroids(spark, kmeans_update(assigned_t))
+        centroids = _materialize_centroids(
+            spark, kmeans_update(assigned_t, dim=_centroid_dim(centroids))
+        )
     assigned = shortlist_assign_vectorized(spark, base, centroids, m, SEM_NPROBE)
 
     neg = hardest_negatives_per_cell(assigned, tau)
